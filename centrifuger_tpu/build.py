@@ -1,0 +1,192 @@
+"""Index build orchestration: genomes + taxonomy dumps -> native index files.
+
+Mirrors Builder::Build (reference Builder.hpp:86-265): taxonomy init, genome
+streaming/compaction with per-sequence filters (--subset-tax subtree filter,
+duplicate-seqid dedup, short-genome filter, --concat-tax-genome grouping),
+genome-boundary selected rows, FM build, sampled-SA -> seqid transform, and the
+4-part index output (FM / taxonomy / seq-lengths / metadata, mirroring
+prefix.{1,2,3,4}.cfr, Builder.hpp:280-313).
+
+Native index layout: <prefix>.fm.npz, <prefix>.tax.npz, <prefix>.seqlen.npz,
+<prefix>.meta.json.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+from .fm.builder import FMBuildParams, build_fm
+from .io.readers import ReadFiles
+from .taxonomy import Taxonomy
+from .taxonomy.taxonomy import _file_base_name
+from .utils import make_encode_table, DNA_ALPHABET, PROTEIN_ALPHABET
+from . import VERSION_STRING
+
+
+def log(msg):
+    sys.stderr.write("[%s] %s\n" % (time.strftime("%a %b %d %H:%M:%S %Y"), msg))
+
+
+def build_index(genome_files, taxonomy_file, name_table, conversion_table,
+                conversion_at_file_level, output_prefix,
+                concat_same_taxid=False, ignore_uncategorized=False,
+                subset_tax=0, params=None, protein=False):
+    params = params or FMBuildParams()
+    alphabet = PROTEIN_ALPHABET if protein else DNA_ALPHABET
+    if protein:
+        params.has_end_marker = True
+        if params.precompute_width == 10:
+            params.precompute_width = 4
+    encode = make_encode_table(alphabet)
+    end_code = 0 if protein else None
+
+    tax = Taxonomy.from_dumps(taxonomy_file, name_table, conversion_table,
+                              conversion_at_file_level)
+
+    selected_taxids = None
+    if subset_tax:
+        selected_taxids = tax.get_children_tax(tax.compact_tax_id(subset_tax))
+
+    reads = ReadFiles()
+    for gf in genome_files:
+        reads.add_read_file(gf)
+
+    seq_length = {}
+    genome_seqids = []
+    genome_lens = []
+    chunks = []
+    taxid_chunks = {}  # for --concat-tax-genome
+
+    file_ind = [0]
+
+    def iter_with_file():
+        for fi, fn in enumerate(reads.file_names):
+            from .io.readers import _open_any, parse_fastx
+            with _open_any(fn) as stream:
+                for read in parse_fastx(stream):
+                    yield fn, read
+
+    for fn, read in iter_with_file():
+        if conversion_at_file_level:
+            seqid = tax.seq_name_to_seq_id(_file_base_name(fn))
+        else:
+            seqid = tax.seq_name_to_seq_id(read.id)
+
+        if selected_taxids is not None:
+            taxid = tax.seq_id_to_tax_id(seqid)
+            if taxid not in selected_taxids:
+                continue
+
+        if not conversion_at_file_level and seqid in seq_length:
+            continue  # duplicate seqid: already stored (Builder.hpp:129-130)
+
+        if seqid >= tax.seq_cnt:
+            sys.stderr.write("WARNING: taxonomy id doesn't exist for %s!\n" %
+                             (_file_base_name(fn) if conversion_at_file_level else read.id))
+            if not ignore_uncategorized:
+                seqid = tax.add_extra_seq_name(
+                    _file_base_name(fn) if conversion_at_file_level else read.id)
+            else:
+                continue
+
+        raw = np.frombuffer(read.seq.encode(), dtype=np.uint8)
+        codes = encode[raw]
+        codes = codes[codes != 255]
+        if end_code is not None:
+            codes = np.concatenate([codes, [end_code]]).astype(np.uint8)
+        ln = len(codes)
+        if ln < params.precompute_width + 1:
+            sys.stderr.write("WARNING: %s is filtered due to its short length "
+                             "(could be from masker)!\n" % read.id)
+            continue
+
+        if not concat_same_taxid:
+            if seqid not in seq_length:
+                seq_length[seqid] = ln
+                genome_seqids.append(seqid)
+                genome_lens.append(ln)
+                chunks.append(codes)
+            else:  # file-level conversion: same file accumulates
+                seq_length[seqid] += ln
+                genome_lens[-1] += ln
+                chunks.append(codes)
+        else:
+            taxid = tax.seq_id_to_tax_id(seqid)
+            taxid_chunks.setdefault(taxid, []).append(codes)
+            seq_length[seqid] = ln
+
+    if concat_same_taxid:
+        seq_length = {}
+        tax.set_tax_id_as_seq_id()
+        chunks = []
+        genome_seqids = []
+        genome_lens = []
+        for taxid in sorted(taxid_chunks):
+            cat = np.concatenate(taxid_chunks[taxid])
+            if len(cat) == 0:
+                continue
+            chunks.append(cat)
+            genome_seqids.append(taxid)
+            genome_lens.append(len(cat))
+            seq_length[taxid] = len(cat)
+        log("Finish concatenating genomes")
+
+    if not genome_lens:
+        sys.stderr.write("ERROR: found 0 genomes in the input or after filtering.\n")
+        sys.exit(1)
+
+    codes = np.concatenate(chunks)
+    log("Found %d sequences with total length %d bp." % (len(genome_lens), len(codes)))
+
+    fm = build_fm(codes, genome_lens, genome_seqids, alphabet, params)
+    log("FM index built; saving.")
+
+    save_index(output_prefix, fm, tax, seq_length, protein)
+    log("centrifuger-build finishes.")
+    return fm, tax, seq_length
+
+
+def save_index(prefix, fm, tax, seq_length, protein):
+    fm.save(prefix + ".fm.npz")
+    tax.save(prefix + ".tax.npz")
+    keys = np.array(sorted(seq_length), dtype=np.int64)
+    vals = np.array([seq_length[k] for k in keys], dtype=np.int64)
+    np.savez(prefix + ".seqlen.npz", keys=keys, vals=vals)
+    meta = {
+        "version": VERSION_STRING,
+        "SA_sample_rate": fm.sample_rate,
+        "sequence_type": "amino_acid" if protein else "nucleotide",
+        "build_date": time.strftime("%c"),
+    }
+    with open(prefix + ".meta.json", "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_index(prefix):
+    from .fm.index import FMIndexData
+    fm = FMIndexData.load(prefix + ".fm.npz")
+    tax = Taxonomy.load(prefix + ".tax.npz")
+    z = np.load(prefix + ".seqlen.npz")
+    seq_length = dict(zip(z["keys"].tolist(), z["vals"].tolist()))
+    with open(prefix + ".meta.json") as f:
+        meta = json.load(f)
+    return fm, tax, seq_length, meta
+
+
+def load_index_tax_only(prefix):
+    """Load only taxonomy + seq lengths (for quant/inspect; mirrors reading
+    just the .2/.3.cfr files)."""
+    tax = Taxonomy.load(prefix + ".tax.npz")
+    z = np.load(prefix + ".seqlen.npz")
+    seq_length = dict(zip(z["keys"].tolist(), z["vals"].tolist()))
+    return tax, seq_length
+
+
+def is_protein_index(prefix):
+    try:
+        with open(prefix + ".meta.json") as f:
+            return json.load(f).get("sequence_type") == "amino_acid"
+    except OSError:
+        return False

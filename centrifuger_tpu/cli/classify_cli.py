@@ -1,0 +1,257 @@
+"""cfr-classify: read classification CLI (flag-compatible with `centrifuger`,
+reference CentrifugerClass.cpp:20-64)."""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..build import load_index, is_protein_index
+from ..classify.params import ClassifierParam
+from ..io.readers import ReadFiles, SAMPLE_SHEET_SEPARATOR_READ_ID
+from ..io.writer import ResultWriter
+
+
+def log(msg):
+    sys.stderr.write("[%s] %s\n" % (time.strftime("%a %b %d %H:%M:%S %Y"), msg))
+
+
+def make_classifier(fm, tax, param, protein, engine):
+    if engine == "numpy":
+        from ..classify.engine_np import ClassifierNP
+        return ClassifierNP(fm, tax, param, protein=protein)
+    from ..classify.engine_jax import ClassifierJax
+    return ClassifierJax(fm, tax, param, protein=protein)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="cfr-classify",
+                                 description="Classify reads against a centrifuger_tpu index.")
+    ap.add_argument("-x", dest="index", required=True, help="index prefix")
+    ap.add_argument("-1", dest="read1", action="append", default=[])
+    ap.add_argument("-2", dest="read2", action="append", default=[])
+    ap.add_argument("-u", dest="unpaired", action="append", default=[])
+    ap.add_argument("-i", dest="interleaved", action="append", default=[])
+    ap.add_argument("-t", dest="threads", type=int, default=1)
+    ap.add_argument("-k", dest="max_result", type=int, default=1)
+    ap.add_argument("-o", dest="output_prefix", default="centrifuger")
+    ap.add_argument("--sample-sheet")
+    ap.add_argument("--un", dest="un_prefix", default="")
+    ap.add_argument("--cl", dest="cl_prefix", default="")
+    ap.add_argument("--min-hitlen", type=int, default=0)
+    ap.add_argument("--hitk-factor", type=int, default=40)
+    ap.add_argument("--merge-readpair", action="store_true")
+    ap.add_argument("--expand-taxid", action="store_true")
+    ap.add_argument("--read-format", default=None)
+    ap.add_argument("--barcode", action="append", default=[])
+    ap.add_argument("--UMI", dest="umi", action="append", default=[])
+    ap.add_argument("--barcode-whitelist", default=None)
+    ap.add_argument("--barcode-translate", default=None)
+    ap.add_argument("--engine", choices=["numpy", "jax"], default="jax",
+                    help="compute engine (extension over the reference CLI)")
+    ap.add_argument("--batch-size", type=int, default=0,
+                    help="reads per device batch (0 = auto)")
+    args = ap.parse_args(argv)
+
+    log("Centrifuger(tpu) starts.")
+    protein = is_protein_index(args.index)
+    fm, tax, seq_length, meta = load_index(args.index)
+    log("Finishes loading index.")
+
+    param = ClassifierParam(max_result=args.max_result,
+                            min_hit_len=args.min_hitlen,
+                            max_result_per_hit_factor=args.hitk_factor,
+                            output_expanded_result=args.expand_taxid)
+
+    from ..io.formatter import ReadFormatter
+    from ..io.barcode import BarcodeCorrector, BarcodeTranslator
+    formatter = ReadFormatter(args.read_format) if args.read_format else None
+    corrector = None
+    translator = None
+    if args.barcode_whitelist:
+        corrector = BarcodeCorrector(args.barcode_whitelist)
+    if args.barcode_translate:
+        translator = BarcodeTranslator(args.barcode_translate)
+
+    reads = ReadFiles()
+    mate_reads = ReadFiles()
+    barcode_file = ReadFiles()
+    umi_file = ReadFiles()
+    has_mate = False
+    sample_outputs = []
+    for f in args.unpaired:
+        reads.add_read_file(f)
+    for f in args.read1:
+        reads.add_read_file(f)
+        has_mate = True
+    for f in args.read2:
+        mate_reads.add_read_file(f)
+    for f in args.interleaved:
+        reads.add_read_file(f, interleaved=True)
+        has_mate = True
+    for f in args.barcode:
+        barcode_file.add_read_file(f)
+    for f in args.umi:
+        umi_file.add_read_file(f)
+    has_barcode = bool(args.barcode)
+    has_umi = bool(args.umi)
+
+    if args.sample_sheet:
+        with open(args.sample_sheet) as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                r1, r2, bc, um, outf = (parts + ["."] * 5)[:5]
+                if r2 != ".":
+                    reads.add_read_file(r1)
+                    mate_reads.add_read_file(r2)
+                    has_mate = True
+                else:
+                    reads.add_read_file(r1)
+                if bc != ".":
+                    has_barcode = True
+                    barcode_file.add_read_file(bc)
+                if um != ".":
+                    has_umi = True
+                    umi_file.add_read_file(um)
+                sample_outputs.append(outf)
+        reads.set_special_read_to_mark_file_end(SAMPLE_SHEET_SEPARATOR_READ_ID)
+        mate_reads.set_special_read_to_mark_file_end(SAMPLE_SHEET_SEPARATOR_READ_ID)
+        barcode_file.set_special_read_to_mark_file_end(SAMPLE_SHEET_SEPARATOR_READ_ID)
+        umi_file.set_special_read_to_mark_file_end(SAMPLE_SHEET_SEPARATOR_READ_ID)
+
+    if formatter is not None:
+        if not has_barcode and formatter.segment_count("bc") > 0:
+            has_barcode = True
+        if not has_umi and formatter.segment_count("um") > 0:
+            has_umi = True
+
+    if corrector is not None and has_barcode:
+        corrector.collect_background(barcode_file, formatter)
+
+    classifier = make_classifier(fm, tax, param, protein, args.engine)
+    log("Inferred --min-hitlen: %d" % classifier.param.min_hit_len)
+
+    writer = ResultWriter()
+    writer.has_barcode = has_barcode
+    writer.has_umi = has_umi
+    writer.output_expanded = args.expand_taxid
+    if args.un_prefix:
+        writer.set_output_reads(args.un_prefix, has_mate, has_barcode, has_umi, 0)
+    if args.cl_prefix:
+        writer.set_output_reads(args.cl_prefix, has_mate, has_barcode, has_umi, 1)
+    if sample_outputs:
+        writer.set_multi_output_file_list(sample_outputs)
+    writer.output_header()
+
+    merger = None
+    if args.merge_readpair:
+        from ..io.pairmerge import ReadPairMerger
+        merger = ReadPairMerger()
+
+    batch_size = args.batch_size or 1024 * max(args.threads, 8)
+
+    def iter_units():
+        """Yield (r1, r2, barcode_read, umi_read) with formatting applied."""
+        it1 = iter(reads)
+        it2 = iter(mate_reads) if (has_mate and not reads.interleaved) else None
+        itb = iter(barcode_file) if barcode_file.file_count else None
+        itu = iter(umi_file) if umi_file.file_count else None
+        if reads.interleaved:
+            while True:
+                try:
+                    r1 = next(it1)
+                except StopIteration:
+                    return
+                if args.sample_sheet and r1.id == SAMPLE_SHEET_SEPARATOR_READ_ID:
+                    yield r1, None, None, None
+                    continue
+                r2 = next(it1, None)
+                yield r1, r2, None, None
+        else:
+            while True:
+                try:
+                    r1 = next(it1)
+                except StopIteration:
+                    return
+                r2 = next(it2) if it2 is not None else None
+                rb = next(itb, None) if itb is not None else None
+                ru = next(itu, None) if itu is not None else None
+                yield r1, r2, rb, ru
+
+    def formatted_units():
+        for r1, r2, rb, ru in iter_units():
+            if args.sample_sheet and r1.id == SAMPLE_SHEET_SEPARATOR_READ_ID:
+                yield r1, r2, None, None
+                continue
+            barcode = None
+            umi = None
+            if formatter is not None:
+                r1seq, r1qual = formatter.extract_seq_qual(r1.seq, r1.qual, "r1")
+                r1.seq, r1.qual = r1seq, r1qual
+                if r2 is not None:
+                    r2.seq, r2.qual = formatter.extract_seq_qual(r2.seq, r2.qual, "r2")
+            if has_barcode:
+                src = rb if rb is not None else r1
+                if formatter is not None and formatter.is_in_comment("bc"):
+                    barcode = formatter.extract_from_comment(src.comment, "bc")
+                elif formatter is not None and formatter.segment_count("bc"):
+                    barcode, _ = formatter.extract_seq_qual(src.seq, src.qual, "bc")
+                else:
+                    barcode = src.seq
+                qual = src.qual
+                ok = 0
+                if corrector is not None:
+                    barcode, ok = corrector.correct(barcode, qual)
+                if ok >= 0:
+                    if translator is not None:
+                        barcode = translator.translate(barcode)
+                else:
+                    barcode = "N"
+            if has_umi:
+                src = ru if ru is not None else r1
+                if formatter is not None and formatter.is_in_comment("um"):
+                    umi = formatter.extract_from_comment(src.comment, "um")
+                elif formatter is not None and formatter.segment_count("um"):
+                    umi, _ = formatter.extract_seq_qual(src.seq, src.qual, "um")
+                else:
+                    umi = src.seq
+            yield r1, r2, barcode, umi
+
+    batch = []
+    for unit in formatted_units():
+        batch.append(unit)
+        if len(batch) >= batch_size:
+            _process_batch(batch, classifier, writer, merger, has_mate)
+            batch = []
+    if batch:
+        _process_batch(batch, classifier, writer, merger, has_mate)
+
+    writer.finalize()
+    log("Centrifuger(tpu) finishes.")
+    return 0
+
+
+def _process_batch(batch, classifier, writer, merger, has_mate):
+    queries = []
+    for r1, r2, barcode, umi in batch:
+        raw1 = np.frombuffer(r1.seq.encode(), dtype=np.uint8)
+        raw2 = np.frombuffer(r2.seq.encode(), dtype=np.uint8) if r2 is not None else None
+        if merger is not None and raw2 is not None:
+            merged, mqual, ok = merger.merge(r1.seq, r1.qual, r2.seq, r2.qual)
+            if ok:
+                raw1 = np.frombuffer(merged.encode(), dtype=np.uint8)
+                raw2 = None
+        queries.append((raw1, raw2))
+    results = classifier.query_batch(queries)
+    for (r1, r2, barcode, umi), res in zip(batch, results):
+        writer.output(r1.id, r1.seq, r1.qual,
+                      r2.seq if r2 is not None else None,
+                      r2.qual if r2 is not None else None,
+                      barcode, umi, res)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
