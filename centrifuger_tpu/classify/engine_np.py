@@ -90,8 +90,8 @@ class ClassifierNP:
             if c == 255:
                 break
             nsp, nep = fm.backward_extend(int(c), sp, ep)
-            nsp = int(nsp)
-            nep = int(nep)
+            nsp = int(np.asarray(nsp).reshape(-1)[0])
+            nep = int(np.asarray(nep).reshape(-1)[0])
             if nsp > nep or nep > fm.n:
                 break
             sp, ep = nsp, nep

@@ -1,58 +1,95 @@
-"""Differential tests: build an index from the fixture with our builder,
-classify the fixture reads, and require byte-identical TSV output vs the
-compiled reference binary's golden files."""
+"""Differential tests: build an index from fixtures with our builder, classify
+the fixture reads, and require byte-identical TSV output vs the compiled
+reference binary's golden files.
+
+The `small` (300 paired reads) fixture is slow under the NumPy oracle engine;
+it runs only when CFR_SLOW_TESTS=1.  The tiny fixtures always run.
+"""
 
 import io
 import os
-import subprocess
 import sys
 
-import numpy as np
 import pytest
 
 from conftest import FIXTURE_DIR
 
-FX = os.path.join(FIXTURE_DIR, "small")
+SLOW = os.environ.get("CFR_SLOW_TESTS", "") == "1"
 
 
-@pytest.fixture(scope="module")
-def built_index(tmp_path_factory):
+def build_fixture_index(fx, tmpdir, **kw):
     from centrifuger_tpu.build import build_index
-    out = tmp_path_factory.mktemp("idx")
-    prefix = str(out / "idx")
-    build_index([os.path.join(FX, "ref.fa")],
-                os.path.join(FX, "nodes.dmp"),
-                os.path.join(FX, "names.dmp"),
-                os.path.join(FX, "ref_seqid.map"),
+    prefix = str(tmpdir / "idx")
+    build_index([os.path.join(fx, "ref.fa")],
+                os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"),
+                os.path.join(fx, "ref_seqid.map"),
                 conversion_at_file_level=False,
-                output_prefix=prefix)
+                output_prefix=prefix, **kw)
     return prefix
 
 
-def run_classify(prefix, extra, engine="numpy"):
+_IDX_CACHE = {}
+
+
+def get_index(fx_name, tmp_path_factory):
+    if fx_name not in _IDX_CACHE:
+        fx = os.path.join(FIXTURE_DIR, fx_name)
+        out = tmp_path_factory.mktemp("idx_" + fx_name)
+        _IDX_CACHE[fx_name] = build_fixture_index(fx, out)
+    return _IDX_CACHE[fx_name]
+
+
+def run_classify(fx, prefix, extra, engine="numpy", paired=True):
     from centrifuger_tpu.cli import classify_cli
     buf = io.StringIO()
     old = sys.stdout
     sys.stdout = buf
     try:
-        classify_cli.main(["-x", prefix,
-                           "-1", os.path.join(FX, "reads_1.fq"),
-                           "-2", os.path.join(FX, "reads_2.fq"),
-                           "--engine", engine] + extra)
+        if paired:
+            rargs = ["-1", os.path.join(fx, "reads_1.fq"),
+                     "-2", os.path.join(fx, "reads_2.fq")]
+        else:
+            rargs = ["-u", os.path.join(fx, "reads_1.fq")]
+        classify_cli.main(["-x", prefix, "--engine", engine] + rargs + extra)
     finally:
         sys.stdout = old
     return buf.getvalue()
 
 
-@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"]),
-                                       ("k5", ["-k", "5"])])
-def test_classify_matches_reference(built_index, tag, extra):
-    got = run_classify(built_index, extra)
-    with open(os.path.join(FX, "golden_class_%s.tsv" % tag)) as f:
+def assert_tsv_equal(got, want_path):
+    with open(want_path) as f:
         want = f.read()
     got_lines = got.splitlines()
     want_lines = want.splitlines()
-    assert len(got_lines) == len(want_lines), \
-        "line count mismatch: %d vs %d" % (len(got_lines), len(want_lines))
     for i, (g, w) in enumerate(zip(got_lines, want_lines)):
         assert g == w, "line %d differs:\n  got:  %s\n  want: %s" % (i, g, w)
+    assert len(got_lines) == len(want_lines), \
+        "line count mismatch: %d vs %d" % (len(got_lines), len(want_lines))
+
+
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"]),
+                                       ("k5", ["-k", "5"])])
+def test_tiny_paired(tmp_path_factory, tag, extra):
+    fx = os.path.join(FIXTURE_DIR, "tiny")
+    prefix = get_index("tiny", tmp_path_factory)
+    got = run_classify(fx, prefix, extra)
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
+
+
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"])])
+def test_tiny_single(tmp_path_factory, tag, extra):
+    fx = os.path.join(FIXTURE_DIR, "tiny_single")
+    prefix = get_index("tiny_single", tmp_path_factory)
+    got = run_classify(fx, prefix, extra, paired=False)
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
+
+
+@pytest.mark.skipif(not SLOW, reason="set CFR_SLOW_TESTS=1")
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"]),
+                                       ("k5", ["-k", "5"])])
+def test_small_paired(tmp_path_factory, tag, extra):
+    fx = os.path.join(FIXTURE_DIR, "small")
+    prefix = get_index("small", tmp_path_factory)
+    got = run_classify(fx, prefix, extra)
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
