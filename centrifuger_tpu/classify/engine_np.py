@@ -240,8 +240,34 @@ class ClassifierNP:
 
     # ----------------------------------------------------------- classification
 
-    def classify_from_hits(self, hits, result):
-        """GetClassificationFromHits (Classifier.hpp:571-802)."""
+    def rows_for_hit(self, h):
+        """BWT rows to resolve for one hit: the whole range when small, else a
+        bidirectional strided subset (Classifier.hpp:606-652): forward pass over
+        the range with stride ceil(size/max_entries), then a backward pass from
+        ep sharing the same resolved counter, stopping at max_entries total."""
+        param = self.param
+        max_entries = param.max_result * param.max_result_per_hit_factor
+        range_size = h.ep - h.sp + 1
+        if range_size <= max_entries or param.max_result_per_hit_factor <= 0 \
+                or param.max_result <= 0:
+            return np.arange(h.sp, h.ep + 1, dtype=np.int64)
+        step = -(-range_size // max_entries)
+        rows_fwd = list(range(h.sp, h.ep + 1, step))
+        resolved_cnt = len(rows_fwd)
+        rows_bwd = []
+        jj = h.ep
+        while h.sp <= jj <= h.ep:
+            rows_bwd.append(jj)
+            resolved_cnt += 1
+            if resolved_cnt >= max_entries:
+                break
+            jj -= step
+        return np.array(rows_fwd + rows_bwd, dtype=np.int64)
+
+    def classify_from_hits(self, hits, result, resolved=None):
+        """GetClassificationFromHits (Classifier.hpp:571-802).
+        resolved: optional list of pre-resolved seqid arrays, one per hit
+        (aligned with `hits`), from the batched device resolver."""
         param = self.param
         fm = self.fm
         tax = self.tax
@@ -256,33 +282,13 @@ class ClassifierNP:
                 continue
             score = self.hit_score(h.l)
             k = (h.strand + 1) // 2
-            max_entries = param.max_result * param.max_result_per_hit_factor
             local = {}
-            range_size = h.ep - h.sp + 1
-            if range_size <= max_entries or param.max_result_per_hit_factor <= 0 \
-                    or param.max_result <= 0:
-                rows = np.arange(h.sp, h.ep + 1, dtype=np.int64)
-                for sid in fm.resolve_rows(rows):
-                    local[int(sid)] = 1
+            if resolved is not None:
+                ids = resolved[i]
             else:
-                # bidirectional strided resolution (Classifier.hpp:622-652):
-                # forward pass over the whole range with stride `step`, then a
-                # backward pass from ep sharing the same resolved counter,
-                # stopping once max_entries total have been resolved.
-                step = -(-range_size // max_entries)
-                rows_fwd = list(range(h.sp, h.ep + 1, step))
-                resolved_cnt = len(rows_fwd)
-                rows_bwd = []
-                jj = h.ep
-                while h.sp <= jj <= h.ep:
-                    rows_bwd.append(jj)
-                    resolved_cnt += 1
-                    if resolved_cnt >= max_entries:
-                        break
-                    jj -= step
-                rows = np.array(rows_fwd + rows_bwd, dtype=np.int64)
-                for sid in fm.resolve_rows(rows):
-                    local[int(sid)] = 1
+                ids = fm.resolve_rows(self.rows_for_hit(h))
+            for sid in ids:
+                local[int(sid)] = 1
 
             for sid in sorted(local):
                 rec = records[k].get(sid)

@@ -1,0 +1,503 @@
+"""Device-resident FM-index and the batched classification kernels (JAX/XLA).
+
+This is the TPU-native serving path.  The reference's per-read serial loops
+(FMIndex::BackwardSearch char-by-char chain, FMIndex.hpp:487-510, and the
+BackwardToSampledSA LF-walk, FMIndex.hpp:513-524) become fixed-shape batched
+programs: thousands of read lanes advance in lockstep under a
+`lax.while_loop`, each step performing the run-block BWT ranks as vectorized
+gathers + popcounts over bit-packed uint32 arrays in HBM.  Rank values (and
+therefore all classification results) are bit-identical to the host engine.
+
+Layout notes (TPU-first):
+  * packed streams are reshaped to [nblocks, 16] word rows so one rank touches
+    one contiguous 64-byte row (gather-friendly), plus a [nblocks, sigma]
+    checkpoint row — the flat-array equivalent of Rank9's interleaving
+    (reference compactds/DS_Rank.hpp:196-197).
+  * all row/position arithmetic is int32 when n < 2^31 (the common replicated-
+    shard case); the int64 variant is selected at upload time.
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .index import FMIndexData
+from ..succinct.packed import OCC_BLOCK
+from ..succinct.bitvector import RANK_WORDS
+
+
+def _swar_match(w, c, width):
+    """uint32 word(s) -> low-bit-per-slot mask of symbol slots equal to c."""
+    if width == 2:
+        pattern = c.astype(jnp.uint32) * jnp.uint32(0x55555555)
+        x = ~(w ^ pattern)
+        return x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    if width == 4:
+        pattern = c.astype(jnp.uint32) * jnp.uint32(0x11111111)
+        x = ~(w ^ pattern)
+        x = x & (x >> jnp.uint32(1))
+        x = x & (x >> jnp.uint32(2))
+        return x & jnp.uint32(0x11111111)
+    if width == 8:
+        pattern = c.astype(jnp.uint32) * jnp.uint32(0x01010101)
+        x = w ^ pattern
+        z = x | (x >> jnp.uint32(4))
+        z = z | (z >> jnp.uint32(2))
+        z = z | (z >> jnp.uint32(1))
+        return ~z & jnp.uint32(0x01010101)
+    raise ValueError(width)
+
+
+def _slot_mask(width, take):
+    low = {2: 0x55555555, 4: 0x11111111, 8: 0x01010101}[width]
+    nbits = (take * width).astype(jnp.uint32)
+    m = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                  (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
+    return m & jnp.uint32(low)
+
+
+class DevicePacked:
+    """Device mirror of PackedSeq with row-major [nblk, words_per_blk] layout."""
+
+    def __init__(self, ps, idtype):
+        self.n = ps.n
+        self.width = ps.width
+        self.per_word = ps.per_word
+        self.wpb = OCC_BLOCK // ps.per_word  # words per occ block
+        nblk = ps.occ.shape[0]
+        words = np.zeros(nblk * self.wpb, dtype=np.uint32)
+        words[:len(ps.words)] = ps.words
+        self.words = jnp.asarray(words.reshape(nblk, self.wpb))
+        self.occ = jnp.asarray(ps.occ.astype(idtype))
+        self.idtype = idtype
+
+    def rank_inclusive(self, c, idx):
+        """count of c in [0..idx]; c,idx: [B] arrays. idx must be in-range."""
+        pos1 = idx + 1
+        blk = pos1 // OCC_BLOCK
+        base = self.occ[blk, c]
+        rem = (pos1 - blk * OCC_BLOCK).astype(jnp.int32)
+        rows = self.words[blk]                      # [B, wpb]
+        take = jnp.clip(rem[:, None] - jnp.arange(self.wpb, dtype=jnp.int32)[None, :]
+                        * self.per_word, 0, self.per_word)
+        m = _swar_match(rows, c[:, None].astype(jnp.uint32), self.width) \
+            & _slot_mask(self.width, take)
+        cnt = jnp.sum(lax.population_count(m), axis=1).astype(self.idtype)
+        return base + cnt
+
+    def access(self, idx):
+        word_idx = idx // self.per_word
+        blk = word_idx // self.wpb
+        w = self.words[blk, word_idx % self.wpb]
+        sh = ((idx % self.per_word) * self.width).astype(jnp.uint32)
+        return ((w >> sh) & jnp.uint32((1 << self.width) - 1)).astype(jnp.int32)
+
+
+class DeviceBitvector:
+    def __init__(self, bv, idtype):
+        nwords = len(bv.words)
+        # +1 zero row group so rank at pos1 == n can gather a full row safely
+        ngrp = (nwords + RANK_WORDS - 1) // RANK_WORDS + 1
+        words = np.zeros(ngrp * RANK_WORDS, dtype=np.uint32)
+        words[:nwords] = bv.words
+        self.words = jnp.asarray(words.reshape(ngrp, RANK_WORDS))
+        self.cum = jnp.asarray(bv.cum.astype(idtype))
+        self.n = bv.n
+        self.idtype = idtype
+
+    def rank1_inclusive(self, idx):
+        pos1 = idx + 1
+        wi = pos1 >> 5
+        grp = wi // RANK_WORDS
+        base = self.cum[grp]
+        rows = self.words[grp]                      # [B, RANK_WORDS]
+        k = jnp.arange(RANK_WORDS, dtype=wi.dtype)[None, :]
+        j = grp[:, None] * RANK_WORDS + k
+        full = (j < wi[:, None])
+        cnt = jnp.sum(jnp.where(full, lax.population_count(rows), 0), axis=1)
+        tail_bits = (pos1 & 31).astype(jnp.uint32)
+        tw = rows[jnp.arange(rows.shape[0]), (wi - grp * RANK_WORDS)
+                  .astype(jnp.int32).clip(0, RANK_WORDS - 1)]
+        tmask = jnp.where(tail_bits > 0,
+                          (jnp.uint32(1) << tail_bits) - jnp.uint32(1), jnp.uint32(0))
+        cnt = cnt + lax.population_count(tw & tmask)
+        return base + cnt.astype(self.idtype)
+
+    def access(self, idx):
+        wi = idx >> 5
+        grp = wi // RANK_WORDS
+        w = self.words[grp, (wi - grp * RANK_WORDS).astype(jnp.int32)]
+        return ((w >> (idx & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+
+
+class DeviceFM:
+    """Device mirror of FMIndexData with batched query kernels."""
+
+    def __init__(self, fm: FMIndexData):
+        self.fm = fm
+        self.n = fm.n
+        idtype = jnp.int32 if fm.n < (1 << 31) - 8 else jnp.int64
+        self.idtype = idtype
+        self.sigma = fm.sigma
+        self.code_bits = fm.code_bits
+        self.pw = fm.precompute_width
+        self.first_isa = int(fm.first_isa)
+        self.last_chr = int(fm.last_chr)
+        self.sample_rate = int(fm.sample_rate)
+        self.b = fm.bwt.b
+        self.b_lt_n = fm.bwt.b < fm.bwt.n
+
+        self.ind = DeviceBitvector(fm.bwt.indicator, idtype)
+        self.lit = DevicePacked(fm.bwt.lit, idtype)
+        self.run = DevicePacked(fm.bwt.run, idtype)
+        self.lit_empty = fm.bwt.lit.n == 0
+        self.run_empty = fm.bwt.run.n == 0
+
+        self.psum = jnp.asarray(fm.psum.astype(idtype))
+        self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
+        self.ftab_len = jnp.asarray(fm.ftab_len.astype(idtype))
+        self.sampled_sa = jnp.asarray(fm.sampled_sa.astype(idtype))
+        self.adjusted_sa0 = int(fm.adjusted_sa0)
+        if fm.selected_rows is not None and len(fm.selected_rows) > 0:
+            self.sel_rows = jnp.asarray(fm.selected_rows.astype(idtype))
+            self.sel_vals = jnp.asarray(fm.selected_vals.astype(idtype))
+        else:
+            self.sel_rows = None
+            self.sel_vals = None
+        self.has_end_marker = fm.has_end_marker
+        if fm.end_marker_sa is not None:
+            self.end_marker_sa = jnp.asarray(fm.end_marker_sa.astype(idtype))
+        else:
+            self.end_marker_sa = None
+
+    # ------------------------------------------------------------- primitives
+
+    def bwt_rank(self, c, idx):
+        """Sequence_RunBlock::Rank on device (values identical to host)."""
+        b = self.b
+        bi = idx // b
+        typ = self.ind.access(bi)
+        if self.b_lt_n:
+            r1 = self.ind.rank1_inclusive(bi)
+            ranki = jnp.where(typ == 1, r1, bi + 1 - r1)
+        else:
+            ranki = jnp.ones_like(idx)
+        other = (bi + 1) - ranki
+
+        lit_pos = (ranki - 1) * b + idx % b
+        ret_lit = self._lit_rank(c, lit_pos)
+
+        if not self.run_empty:
+            run_pos = jnp.clip(ranki - 1, 0, self.run.n - 1)
+            rb_rank = self._run_rank(c, ranki - 1)
+            in_run = self.run.access(run_pos) == c
+            ret_run = jnp.where(in_run, (rb_rank - 1) * b + idx % b + 1, rb_rank * b)
+        else:
+            ret_run = jnp.zeros_like(idx)
+
+        ret = jnp.where(typ == 0, ret_lit, ret_run)
+        cross_lit = self._run_rank(c, other - 1) * b
+        cross_run = self._lit_rank(c, other * b - 1)
+        cross = jnp.where(typ == 0, cross_lit, cross_run)
+        return ret + jnp.where(other == 0, 0, cross)
+
+    def _lit_rank(self, c, pos):
+        if self.lit_empty:
+            return jnp.zeros_like(pos)
+        r = self.lit.rank_inclusive(c, jnp.clip(pos, 0, self.lit.n - 1))
+        return jnp.where(pos < 0, 0, r)
+
+    def _run_rank(self, c, pos):
+        if self.run_empty:
+            return jnp.zeros_like(pos)
+        r = self.run.rank_inclusive(c, jnp.clip(pos, 0, self.run.n - 1))
+        return jnp.where(pos < 0, 0, r)
+
+    def bwt_access(self, idx):
+        b = self.b
+        bi = idx // b
+        typ = self.ind.access(bi)
+        r1 = self.ind.rank1_inclusive(bi)
+        lit_idx = idx - b * r1
+        r0 = bi + 1 - r1
+        run_idx = (idx - b * r0) // b
+        lit_v = self.lit.access(jnp.clip(lit_idx, 0, max(self.lit.n - 1, 0))) \
+            if not self.lit_empty else jnp.zeros_like(idx, dtype=jnp.int32)
+        run_v = self.run.access(jnp.clip(run_idx, 0, max(self.run.n - 1, 0))) \
+            if not self.run_empty else jnp.zeros_like(idx, dtype=jnp.int32)
+        return jnp.where(typ == 0, lit_v, run_v)
+
+    def rank(self, c, p, inclusive):
+        """FMIndex::Rank with displaced-last-char correction (FMIndex.hpp:352-362)."""
+        if inclusive:
+            r = self.bwt_rank(c, p)
+            corr = (c == self.last_chr) & (p < self.first_isa)
+        else:
+            r = jnp.where(p > 0, self.bwt_rank(c, jnp.maximum(p - 1, 0)), 0)
+            corr = (c == self.last_chr) & (p <= self.first_isa)
+        return r + corr.astype(r.dtype)
+
+    def backward_extend(self, c, sp, ep):
+        off = self.psum[c]
+        nsp = off + self.rank(c, sp, inclusive=False)
+        r_ep = off + self.rank(c, ep, inclusive=True) - 1
+        same = sp == ep
+        acc = self.bwt_access(ep)
+        nep = jnp.where(same, nsp + jnp.where(acc == c, 0, -1), r_ep)
+        return nsp, nep
+
+    def lf(self, p):
+        c = self.bwt_access(p)
+        return self.psum[c] + self.rank(c, p, inclusive=True) - 1
+
+    def get_sampled_sa(self, rows):
+        found = rows == self.first_isa
+        val = jnp.where(found, self.adjusted_sa0, 0).astype(self.idtype)
+        is_samp = (~found) & (rows % self.sample_rate == 0)
+        val = jnp.where(is_samp, self.sampled_sa[rows // self.sample_rate], val)
+        found = found | is_samp
+        if self.sel_rows is not None:
+            pos = jnp.searchsorted(self.sel_rows, rows)
+            pos_c = jnp.minimum(pos, len(self.sel_rows) - 1)
+            is_sel = (~found) & (self.sel_rows[pos_c] == rows)
+            val = jnp.where(is_sel, self.sel_vals[pos_c], val)
+            found = found | is_sel
+        elif self.has_end_marker and self.end_marker_sa is not None:
+            m = len(self.end_marker_sa)
+            is_end = (~found) & (rows < m)
+            val = jnp.where(is_end, self.end_marker_sa[jnp.clip(rows, 0, m - 1)], val)
+            found = found | is_end
+        return found, val
+
+    # --------------------------------------------------------------- kernels
+
+    @partial(jax.jit, static_argnums=0)
+    def resolve_rows(self, rows, valid):
+        """Batched LF-walk to a stored sample (BackwardToSampledSA).
+        rows: [M] int; valid: [M] bool mask for padding lanes."""
+        def cond(state):
+            _, pending, _ = state
+            return jnp.any(pending)
+
+        def body(state):
+            cur, pending, out = state
+            found, val = self.get_sampled_sa(cur)
+            newly = pending & found
+            out = jnp.where(newly, val, out)
+            pending = pending & (~found)
+            nxt = self.lf(jnp.where(pending, cur, 0))
+            cur = jnp.where(pending, nxt, cur)
+            return cur, pending, out
+
+        rows = rows.astype(self.idtype)
+        out = jnp.zeros_like(rows)
+        pending = valid
+        _, _, out = lax.while_loop(cond, body, (rows, pending, out))
+        return out
+
+    # chain search -----------------------------------------------------------
+
+    def _precompute_read_tables(self, codes):
+        """codes: [B, L] uint8 (255 = invalid). Returns (kfull [B, L+1],
+        tailvalid [B, L+1]) where index p refers to the prefix of length p."""
+        B, L = codes.shape
+        valid = codes != 255
+        # last invalid position at or before p-1 (cummax of masked indices)
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        inv_pos = jnp.where(~valid, pos, -1)
+        last_inv = lax.associative_scan(jnp.maximum, inv_pos, axis=1)
+        # tailvalid[p] = (p-1) - last_inv[p-1]
+        tailvalid = jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32),
+             pos - last_inv], axis=1)
+        # kmer ending at p: sum codes[p-pw+j] << (bits*j)
+        bits = self.code_bits
+        pw = self.pw
+        cc = jnp.where(valid, codes, 0).astype(jnp.int64 if bits * pw > 31 else jnp.int32)
+        kdt = cc.dtype
+        k = jnp.zeros((B, L + 1), dtype=kdt)
+        # kfull[p] needs codes[p-pw .. p-1]
+        for j in range(pw):
+            # codes[p-pw+j] contributes at shift bits*j; position index = p-pw+j
+            shifted = jnp.zeros((B, L + 1), dtype=kdt)
+            src = cc << (bits * j)
+            # target p ranges over [pw - j, L]: p - pw + j in [0, L-pw+j]
+            shifted = shifted.at[:, pw - j:].set(src[:, :L - pw + j + 1])
+            k = k + shifted
+        return k, tailvalid
+
+    def chain_search(self, codes, lengths, min_hit_len, max_hits):
+        """Full semi-maximal hit chains for a batch of reads.
+
+        codes: [B, L] uint8 (255 invalid, padded); lengths: [B] int32.
+        Returns dict of [B, H] arrays (sp, ep, l, offset) + nhits [B].
+        Implements GetHitsFromRead x BackwardSearch (Classifier.hpp:262-281,
+        FMIndex.hpp:487-510) as a lockstep while_loop.
+        """
+        return self._chain_search_jit(codes, lengths,
+                                      int(min_hit_len), int(max_hits))
+
+    @partial(jax.jit, static_argnums=(0, 3, 4))
+    def _chain_search_jit(self, codes, lengths, mhl, H):
+        B, L = codes.shape
+        it = self.idtype
+        pw = self.pw
+        kfull, tailvalid = self._precompute_read_tables(codes)
+
+        lengths = lengths.astype(jnp.int32)
+        state = dict(
+            rem=lengths,
+            l=jnp.zeros(B, jnp.int32),
+            sp=jnp.zeros(B, it),
+            ep=jnp.zeros(B, it),
+            phase=jnp.zeros(B, jnp.int32),  # 0 = START, 1 = EXTEND
+            nhits=jnp.zeros(B, jnp.int32),
+            hsp=jnp.zeros((B, H), it),
+            hep=jnp.zeros((B, H), it),
+            hl=jnp.zeros((B, H), jnp.int32),
+            hoff=jnp.zeros((B, H), jnp.int32),
+        )
+
+        lane = jnp.arange(B)
+        slots = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+        def record(st, do_record, l, sp, ep):
+            """Append hit (l, sp, ep, offset=len-rem) where do_record."""
+            cond_hit = do_record & (l >= mhl) & (sp <= ep) & (st["nhits"] < H)
+            sel = cond_hit[:, None] & (slots == st["nhits"][:, None])
+            st = dict(st)
+            st["hsp"] = jnp.where(sel, sp[:, None], st["hsp"])
+            st["hep"] = jnp.where(sel, ep[:, None], st["hep"])
+            st["hl"] = jnp.where(sel, l[:, None], st["hl"])
+            st["hoff"] = jnp.where(sel, (lengths - st["rem"])[:, None], st["hoff"])
+            st["nhits"] = st["nhits"] + cond_hit.astype(jnp.int32)
+            return st
+
+        def cond(st):
+            return jnp.any(st["rem"] >= mhl)
+
+        def body(st):
+            active = st["rem"] >= mhl
+            start = active & (st["phase"] == 0)
+            extend = active & (st["phase"] == 1)
+
+            rem = st["rem"]
+            # ---- START: ftab initial range ----
+            remc = jnp.clip(rem, 0, L)
+            tv = tailvalid[lane, remc]
+            w = kfull[lane, remc]
+            too_short = rem < pw            # BackwardSearch early return l=0
+            short_tail = (~too_short) & (tv < pw)
+            fl = self.ftab_len[jnp.clip(w, 0, self.ftab_len.shape[0] - 1)]
+            ftab_empty = (~too_short) & (~short_tail) & (fl == 0)
+            ftab_ok = (~too_short) & (~short_tail) & (fl > 0)
+            fsp = self.ftab_start[jnp.clip(w, 0, self.ftab_len.shape[0] - 1)]
+            fep = fsp + fl - 1
+            # chain already complete at START (consumed whole prefix)?
+            start_done_now = ftab_ok & (pw >= rem)
+
+            # consumed positions when the chain ends in this START step
+            start_l = jnp.where(too_short, 0,
+                                jnp.where(short_tail, tv,
+                                          jnp.where(ftab_empty, pw - 1, pw)))
+
+            # ---- EXTEND: one BackwardExtend step ----
+            cpos = jnp.clip(rem - 1 - st["l"], 0, L - 1)
+            c = codes[lane, cpos].astype(jnp.int32)
+            c_invalid = c == 255
+            c_safe = jnp.where(c_invalid, 0, c)
+            nsp, nep = self.backward_extend(
+                jnp.where(extend, c_safe, 0),
+                jnp.where(extend, st["sp"], 0),
+                jnp.where(extend, st["ep"], 0))
+            ext_fail = extend & (c_invalid | (nsp > nep))
+            ext_ok = extend & (~ext_fail)
+            new_l = st["l"] + 1
+            ext_done = ext_ok & (new_l >= rem)   # matched entire prefix
+
+            # ---- merge outcomes ----
+            # chain finishing this step (record + consume + back to START):
+            fin_start = start & (too_short | short_tail | ftab_empty | start_done_now)
+            fin_ext = ext_fail | ext_done
+            fin = fin_start | fin_ext
+
+            fin_l = jnp.where(fin_start, start_l, jnp.where(ext_done, new_l, st["l"]))
+            fin_sp = jnp.where(fin_start, jnp.where(start_done_now, fsp, 1), st["sp"])
+            fin_ep = jnp.where(fin_start, jnp.where(start_done_now, fep, 0), st["ep"])
+            # ext_done uses the updated range
+            fin_sp = jnp.where(ext_done, nsp, fin_sp)
+            fin_ep = jnp.where(ext_done, nep, fin_ep)
+
+            st2 = record(st, fin, fin_l, fin_sp, fin_ep)
+
+            # transition to EXTEND from a successful START
+            go_extend = start & ftab_ok & (~start_done_now)
+
+            st2["sp"] = jnp.where(go_extend, fsp, jnp.where(ext_ok, nsp, st2["sp"]))
+            st2["ep"] = jnp.where(go_extend, fep, jnp.where(ext_ok, nep, st2["ep"]))
+            st2["l"] = jnp.where(go_extend, pw, jnp.where(ext_ok, new_l, st2["l"]))
+            st2["phase"] = jnp.where(fin, 0, jnp.where(go_extend, 1, st2["phase"]))
+            st2["rem"] = jnp.where(fin, rem - (fin_l + 1), rem)
+            st2["l"] = jnp.where(fin, 0, st2["l"])
+            return st2
+
+        st = lax.while_loop(cond, body, state)
+        return dict(sp=st["hsp"], ep=st["hep"], l=st["hl"], off=st["hoff"],
+                    nhits=st["nhits"])
+
+    @partial(jax.jit, static_argnums=0)
+    def prefix_search(self, codes, ms):
+        """Single longest-suffix backward search of codes[:, :m] per lane
+        (FMIndex::BackwardSearch) — used by hit-boundary adjustment.
+        Returns (l, sp, ep) per lane."""
+        B, L = codes.shape
+        it = self.idtype
+        pw = self.pw
+        kfull, tailvalid = self._precompute_read_tables(codes)
+        lane = jnp.arange(B)
+        ms = ms.astype(jnp.int32)
+        msc = jnp.clip(ms, 0, L)
+
+        too_short = ms < pw
+        tv = tailvalid[lane, msc]
+        short_tail = (~too_short) & (tv < pw)
+        w = kfull[lane, msc]
+        w = jnp.clip(w, 0, self.ftab_len.shape[0] - 1)
+        fl = self.ftab_len[w]
+        ftab_empty = (~too_short) & (~short_tail) & (fl == 0)
+        fsp = self.ftab_start[w]
+        fep = fsp + fl - 1
+
+        init_l = jnp.where(too_short, 0,
+                           jnp.where(short_tail, tv,
+                                     jnp.where(ftab_empty, pw - 1, pw)))
+        running = (~too_short) & (~short_tail) & (~ftab_empty)
+        sp = jnp.where(running, fsp, 1).astype(it)
+        ep = jnp.where(running, fep, 0).astype(it)
+
+        def cond(stt):
+            l, sp, ep, running = stt
+            return jnp.any(running & (l < ms))
+
+        def body(stt):
+            l, sp, ep, running = stt
+            act = running & (l < ms)
+            cpos = jnp.clip(ms - 1 - l, 0, L - 1)
+            c = codes[lane, cpos].astype(jnp.int32)
+            c_invalid = c == 255
+            c_safe = jnp.where(c_invalid, 0, c)
+            nsp, nep = self.backward_extend(jnp.where(act, c_safe, 0),
+                                            jnp.where(act, sp, 0),
+                                            jnp.where(act, ep, 0))
+            ok = act & (~c_invalid) & (nsp <= nep)
+            sp = jnp.where(ok, nsp, sp)
+            ep = jnp.where(ok, nep, ep)
+            l = jnp.where(ok, l + 1, l)
+            running = running & ok
+            return l, sp, ep, running
+
+        l, sp, ep, _ = lax.while_loop(cond, body, (init_l, sp, ep, running))
+        return l, sp, ep
