@@ -1,0 +1,239 @@
+"""Benchmark: classification throughput vs the reference centrifuger binary.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: synthetic multi-genome DB (default 5 Mnt) + single-end 100 bp reads.
+value   = end-to-end reads/sec of the JAX engine on the default device (TPU
+          chip under the driver; falls back to CPU elsewhere).
+baseline = reads/sec of the compiled reference binary (.refbuild/centrifuger)
+          on this host using all cores, measured once and cached.
+Extra fields (informational): device-only kernel throughput, engine/platform.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+REFBUILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".refbuild")
+
+DB_NT = int(os.environ.get("CFR_BENCH_DB_NT", 5_000_000))
+N_READS = int(os.environ.get("CFR_BENCH_READS", 100_000))
+READ_LEN = int(os.environ.get("CFR_BENCH_READ_LEN", 100))
+BATCH_READS = int(os.environ.get("CFR_BENCH_BATCH", 8192))
+N_GENOMES = 20
+
+
+def log(msg):
+    sys.stderr.write("[bench] %s\n" % msg)
+
+
+def ensure_fixture():
+    os.makedirs(CACHE, exist_ok=True)
+    done = os.path.join(CACHE, "fixture.done.%d.%d" % (DB_NT, N_READS))
+    if os.path.exists(done):
+        return
+    log("generating %d nt DB + %d reads" % (DB_NT, N_READS))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import make_fixture
+    import random
+    rng = random.Random(1234)
+    glen = DB_NT // N_GENOMES
+    nodes, names, seq_taxids = make_fixture.make_taxonomy(N_GENOMES)
+    genomes = []
+    prev = None
+    for i in range(N_GENOMES):
+        if i % 2 == 1 and prev is not None:
+            g = make_fixture.make_genome(rng, glen, parent=prev, mut_rate=0.03)
+        else:
+            g = make_fixture.make_genome(rng, glen)
+            prev = g
+        genomes.append(g)
+    with open(os.path.join(CACHE, "ref.fa"), "w") as f:
+        for i, g in enumerate(genomes):
+            f.write(">SEQ_%06d\n" % i)
+            for j in range(0, len(g), 70):
+                f.write(g[j:j + 70] + "\n")
+    with open(os.path.join(CACHE, "ref_seqid.map"), "w") as f:
+        for i, t in enumerate(seq_taxids):
+            f.write("SEQ_%06d\t%d\n" % (i, t))
+    with open(os.path.join(CACHE, "nodes.dmp"), "w") as f:
+        for tid in sorted(nodes):
+            parent, rank = nodes[tid]
+            f.write("%d\t|\t%d\t|\t%s\t|\n" % (tid, parent, rank))
+    with open(os.path.join(CACHE, "names.dmp"), "w") as f:
+        for tid in sorted(names):
+            f.write("%d\t|\t%s\t|\t\t|\tscientific name\t|\n" % (tid, names[tid]))
+    with open(os.path.join(CACHE, "reads.fq"), "w") as f:
+        for ri in range(N_READS):
+            gi = rng.randrange(N_GENOMES)
+            pos = rng.randrange(0, glen - READ_LEN)
+            frag = genomes[gi][pos:pos + READ_LEN]
+            if rng.random() < 0.5:
+                frag = make_fixture.revcomp(frag)
+            r = make_fixture.mutate_read(rng, frag, 0.005)
+            f.write("@r%06d\n%s\n+\n%s\n" % (ri, r, "I" * READ_LEN))
+    open(done, "w").close()
+
+
+def ensure_our_index():
+    prefix = os.path.join(CACHE, "ouridx")
+    if os.path.exists(prefix + ".fm.npz"):
+        return prefix
+    from centrifuger_tpu.build import build_index
+    log("building our index")
+    t0 = time.time()
+    build_index([os.path.join(CACHE, "ref.fa")],
+                os.path.join(CACHE, "nodes.dmp"),
+                os.path.join(CACHE, "names.dmp"),
+                os.path.join(CACHE, "ref_seqid.map"),
+                conversion_at_file_level=False, output_prefix=prefix)
+    log("our index built in %.1fs" % (time.time() - t0))
+    return prefix
+
+
+def measure_reference():
+    """reads/sec of the reference binary with all host cores; cached."""
+    cache_file = os.path.join(CACHE, "baseline.json")
+    key = "%d.%d.%d" % (DB_NT, N_READS, READ_LEN)
+    if os.path.exists(cache_file):
+        d = json.load(open(cache_file))
+        if d.get("key") == key:
+            return d["reads_per_sec"]
+    ref_bin = os.path.join(REFBUILD, "centrifuger")
+    ref_build = os.path.join(REFBUILD, "centrifuger-build")
+    if not os.path.exists(ref_bin):
+        return None
+    prefix = os.path.join(CACHE, "refidx")
+    if not os.path.exists(prefix + ".1.cfr"):
+        log("building reference index")
+        subprocess.run([ref_build, "-r", os.path.join(CACHE, "ref.fa"),
+                        "--taxonomy-tree", os.path.join(CACHE, "nodes.dmp"),
+                        "--name-table", os.path.join(CACHE, "names.dmp"),
+                        "--conversion-table", os.path.join(CACHE, "ref_seqid.map"),
+                        "-t", str(os.cpu_count()), "-o", prefix],
+                       check=True, capture_output=True)
+    nthreads = str(os.cpu_count())
+    # startup cost via a tiny run
+    tiny = os.path.join(CACHE, "tiny.fq")
+    with open(os.path.join(CACHE, "reads.fq")) as f, open(tiny, "w") as g:
+        for i, line in enumerate(f):
+            if i >= 400:
+                break
+            g.write(line)
+    t0 = time.time()
+    subprocess.run([ref_bin, "-x", prefix, "-u", tiny, "-t", nthreads],
+                   check=True, capture_output=True)
+    t_small = time.time() - t0
+    log("reference classify (full)...")
+    t0 = time.time()
+    subprocess.run([ref_bin, "-x", prefix, "-u", os.path.join(CACHE, "reads.fq"),
+                    "-t", nthreads], check=True, capture_output=True)
+    t_full = time.time() - t0
+    rps = (N_READS - 100) / max(t_full - t_small, 1e-9)
+    log("reference: %.0f reads/s (full %.1fs, startup %.1fs, %s threads)"
+        % (rps, t_full, t_small, nthreads))
+    json.dump({"key": key, "reads_per_sec": rps}, open(cache_file, "w"))
+    return rps
+
+
+def read_queries():
+    from centrifuger_tpu.io.readers import ReadFiles
+    rf = ReadFiles()
+    rf.add_read_file(os.path.join(CACHE, "reads.fq"))
+    out = []
+    for r in rf:
+        out.append((np.frombuffer(r.seq.encode(), np.uint8), None))
+    return out
+
+
+def measure_ours(prefix):
+    import jax
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.classify.engine_jax import ClassifierJax
+    from centrifuger_tpu.classify.params import ClassifierParam
+    from centrifuger_tpu.classify.engine_np import ClassifierResult
+
+    platform = jax.devices()[0].platform
+    log("device platform: %s" % platform)
+    fm, tax, seqlen, meta = load_index(prefix)
+    cl = ClassifierJax(fm, tax, ClassifierParam())
+    queries = read_queries()
+    log("loaded %d reads" % len(queries))
+
+    # warmup (compile) on a full-size batch
+    warm = queries[:BATCH_READS]
+    t0 = time.time()
+    cl.query_batch(warm)
+    log("warmup(+compile): %.1fs" % (time.time() - t0))
+
+    # timed end-to-end pass (classification + result objects, excl. TSV I/O)
+    t0 = time.time()
+    nclass = 0
+    for i in range(0, len(queries), BATCH_READS):
+        batch = queries[i:i + BATCH_READS]
+        res = cl.query_batch(batch)
+        nclass += sum(1 for r in res if r.tax_ids)
+    dt = time.time() - t0
+    rps = len(queries) / dt
+    log("ours end-to-end: %.0f reads/s (%.1fs, %d/%d classified)"
+        % (rps, dt, nclass, len(queries)))
+
+    # device-kernel-only throughput (chain search on the packed batch)
+    enc_batches = []
+    for i in range(0, len(queries), BATCH_READS):
+        batch = queries[i:i + BATCH_READS]
+        lanes = []
+        for r1, _ in batch:
+            from centrifuger_tpu.utils import COMP_TABLE
+            lanes.append(cl.encode[r1])
+            lanes.append(cl.encode[COMP_TABLE[r1][::-1]])
+        L = 128
+        codes = np.full((2 * BATCH_READS, L), 255, np.uint8)
+        lengths = np.zeros(2 * BATCH_READS, np.int32)
+        for j, c in enumerate(lanes):
+            codes[j, :len(c)] = c
+            lengths[j] = len(c)
+        enc_batches.append((codes, lengths))
+    mhl = cl.param.min_hit_len
+    H = L // (mhl + 1) + 1
+    out = cl.dev.chain_search(enc_batches[0][0], enc_batches[0][1], mhl, H)
+    np.asarray(out["nhits"])  # warm
+    t0 = time.time()
+    for codes, lengths in enc_batches:
+        out = cl.dev.chain_search(codes, lengths, mhl, H)
+    np.asarray(out["nhits"])
+    dt_dev = time.time() - t0
+    dev_rps = len(queries) / dt_dev
+    log("device chain-search only: %.0f reads/s" % dev_rps)
+    return rps, dev_rps, platform
+
+
+def main():
+    ensure_fixture()
+    baseline = measure_reference()
+    prefix = ensure_our_index()
+    rps, dev_rps, platform = measure_ours(prefix)
+    vs = (rps / baseline) if baseline else None
+    print(json.dumps({
+        "metric": "classification_reads_per_sec",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(vs, 3) if vs is not None else None,
+        "extra": {
+            "device_chain_search_reads_per_sec": round(dev_rps, 1),
+            "baseline_reference_reads_per_sec": round(baseline, 1) if baseline else None,
+            "platform": platform,
+            "db_nt": DB_NT, "n_reads": N_READS, "read_len": READ_LEN,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Multi-chip sharding for classification (SPMD over a device mesh).
+
+The reference's only parallelism is single-node pthreads over a shared read
+batch (CentrifugerClass.cpp:552, :234-284).  The TPU-native equivalents:
+
+  * data parallelism ("dp"): read lanes sharded across chips, the compressed
+    index replicated per chip; per-chip Pallas/XLA kernels run the backward
+    search chains; summary statistics merge with psum.
+  * (future) sharded-index mode for core_nt-scale databases: BWT shards per
+    chip with all-to-all routing of (read, sp, ep) state.
+
+`make_mesh` builds a 1-D "dp" mesh; `classify_dp_step` returns a jitted
+function whose inputs are batch-sharded and whose captured index arrays are
+replicated by XLA.
+"""
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices=None, devices=None, axis="dp"):
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def classify_dp_step(dev_fm, mesh, min_hit_len, max_hits, axis="dp"):
+    """Returns a jitted SPMD classify step: (codes [B,L], lengths [B]) ->
+    (nhits [B], hit arrays [B,H], seqids [B,H]) with B sharded over `axis`.
+
+    The per-hit seqid here resolves the hit range's start row — the
+    fixed-shape device part of classification; full range resolution and
+    taxonomy reduction happen in the host finalizer.
+    """
+    batch_sharding = NamedSharding(mesh, P(axis, None))
+    vec_sharding = NamedSharding(mesh, P(axis))
+
+    def step(codes, lengths):
+        out = dev_fm._chain_search_jit(codes, lengths, min_hit_len, max_hits)
+        has_hit = (jax.numpy.arange(max_hits)[None, :] < out["nhits"][:, None])
+        rows = jax.numpy.where(has_hit, out["sp"], 0)
+        seqids = _resolve_matrix(dev_fm, rows, has_hit)
+        # global reduction: with the batch sharded over `axis`, jit lowers this
+        # sum to a cross-chip all-reduce over ICI
+        total_hits = out["nhits"].sum()
+        return dict(nhits=out["nhits"], sp=out["sp"], ep=out["ep"],
+                    l=out["l"], off=out["off"], seqids=seqids,
+                    total_hits=total_hits)
+
+    return jax.jit(step,
+                   in_shardings=(batch_sharding, vec_sharding),
+                   out_shardings=None)
+
+
+def _resolve_matrix(dev_fm, rows, valid):
+    B, H = rows.shape
+    flat = rows.reshape(-1)
+    v = valid.reshape(-1)
+    out = _resolve_inline(dev_fm, flat, v)
+    return out.reshape(B, H)
+
+
+def _resolve_inline(dev_fm, rows, valid):
+    """Inline (non-jitted) version of DeviceFM.resolve_rows for composition
+    inside larger jitted programs."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def cond(state):
+        _, pending, _ = state
+        return jnp.any(pending)
+
+    def body(state):
+        cur, pending, out = state
+        found, val = dev_fm.get_sampled_sa(cur)
+        newly = pending & found
+        out = jnp.where(newly, val, out)
+        pending = pending & (~found)
+        nxt = dev_fm.lf(jnp.where(pending, cur, 0))
+        cur = jnp.where(pending, nxt, cur)
+        return cur, pending, out
+
+    rows = rows.astype(dev_fm.idtype)
+    out = jnp.zeros_like(rows)
+    _, _, out = lax.while_loop(cond, body, (rows, valid, out))
+    return out

@@ -1,0 +1,30 @@
+"""Protein (translated search) golden parity tests."""
+
+import os
+
+import pytest
+
+from conftest import FIXTURE_DIR
+from test_golden_classify import run_classify, assert_tsv_equal
+
+
+@pytest.fixture(scope="module")
+def protein_index(tmp_path_factory):
+    from centrifuger_tpu.build import build_index
+    fx = os.path.join(FIXTURE_DIR, "tiny_protein")
+    out = tmp_path_factory.mktemp("pidx")
+    prefix = str(out / "idx")
+    build_index([os.path.join(fx, "ref.fa")],
+                os.path.join(fx, "nodes.dmp"),
+                os.path.join(fx, "names.dmp"),
+                os.path.join(fx, "ref_seqid.map"),
+                conversion_at_file_level=False,
+                output_prefix=prefix, protein=True)
+    return prefix
+
+
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"])])
+def test_protein_golden(protein_index, tag, extra):
+    fx = os.path.join(FIXTURE_DIR, "tiny_protein")
+    got = run_classify(fx, protein_index, extra, paired=False)
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))

@@ -79,6 +79,35 @@ def mutate_read(rng, s, err=0.01):
     return "".join(out)
 
 
+AA = "ARNDCEQGHILKMFPSTWYV"
+# codon table for reverse translation
+_CODONS = {}
+
+
+def _build_codons():
+    std = {
+        "K": ["AAA", "AAG"], "N": ["AAC", "AAT"], "T": ["ACA", "ACC", "ACG", "ACT"],
+        "R": ["AGA", "AGG", "CGA", "CGC", "CGG", "CGT"], "S": ["AGC", "AGT", "TCA", "TCC", "TCG", "TCT"],
+        "I": ["ATA", "ATC", "ATT"], "M": ["ATG"], "Q": ["CAA", "CAG"], "H": ["CAC", "CAT"],
+        "P": ["CCA", "CCC", "CCG", "CCT"], "L": ["CTA", "CTC", "CTG", "CTT", "TTA", "TTG"],
+        "E": ["GAA", "GAG"], "D": ["GAC", "GAT"], "A": ["GCA", "GCC", "GCG", "GCT"],
+        "G": ["GGA", "GGC", "GGG", "GGT"], "V": ["GTA", "GTC", "GTG", "GTT"],
+        "Y": ["TAC", "TAT"], "W": ["TGG"], "C": ["TGC", "TGT"], "F": ["TTC", "TTT"],
+    }
+    _CODONS.update(std)
+
+
+_build_codons()
+
+
+def make_protein_genome(rng, length):
+    return "".join(rng.choice(AA) for _ in range(length))
+
+
+def reverse_translate(rng, aa_seq):
+    return "".join(rng.choice(_CODONS[a]) for a in aa_seq)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
@@ -90,6 +119,8 @@ def main():
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--err", type=float, default=0.01)
     ap.add_argument("--rbbwt-b", type=int, default=None, help="pass --rbbwt-b to reference build")
+    ap.add_argument("--protein", action="store_true",
+                    help="amino-acid genomes + DNA reads for translated search")
     ap.add_argument("--skip-golden", action="store_true")
     args = ap.parse_args()
 
@@ -101,6 +132,9 @@ def main():
     genomes = []
     prev = None
     for i in range(args.n_genomes):
+        if args.protein:
+            genomes.append(make_protein_genome(rng, args.genome_len))
+            continue
         if i % 2 == 1 and prev is not None:
             g = make_genome(rng, args.genome_len, parent=prev, mut_rate=0.03)
         else:
@@ -138,6 +172,14 @@ def main():
         if kind < 0.05:  # unclassifiable random read
             frag = "".join(rng.choice(BASES) for _ in range(2 * L + 50))
             gi = -1
+        elif args.protein:
+            gi = rng.randrange(args.n_genomes)
+            fraglen = 2 * L + rng.randint(0, 60) if args.paired else L + 10
+            aalen = fraglen // 3 + 2
+            pos = rng.randrange(0, len(genomes[gi]) - aalen)
+            frag = reverse_translate(rng, genomes[gi][pos:pos + aalen])
+            lead = rng.randint(0, 2)  # random frame offset
+            frag = frag[lead:lead + fraglen]
         else:
             gi = rng.randrange(args.n_genomes)
             fraglen = 2 * L + rng.randint(0, 200) if args.paired else L
@@ -173,6 +215,8 @@ def main():
     ]
     if args.rbbwt_b is not None:
         build_cmd += ["--rbbwt-b", str(args.rbbwt_b)]
+    if args.protein:
+        build_cmd += ["--protein"]
     subprocess.run(build_cmd, check=True, capture_output=True)
 
     for tag, extra in [("k1", []), ("k5", ["-k", "5"]), ("k2", ["-k", "2"])]:
