@@ -156,6 +156,14 @@ class DeviceFM:
         self.lit_empty = fm.bwt.lit.n == 0
         self.run_empty = fm.bwt.run.n == 0
 
+        # fused one-gather-per-rank layout (DNA + int32 fast path)
+        self.fast = (fm.sigma == 4 and idtype == jnp.int32)
+        if self.fast:
+            from .device_fused import FusedStream, FusedIndicator
+            self.f_ind = FusedIndicator(fm.bwt.indicator)
+            self.f_lit = FusedStream(fm.bwt.lit)
+            self.f_run = FusedStream(fm.bwt.run)
+
         self.psum = jnp.asarray(fm.psum.astype(idtype))
         self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
         self.ftab_len = jnp.asarray(fm.ftab_len.astype(idtype))
@@ -230,6 +238,35 @@ class DeviceFM:
             if not self.run_empty else jnp.zeros_like(idx, dtype=jnp.int32)
         return jnp.where(typ == 0, lit_v, run_v)
 
+    # ---- fused fast path: rank + stored symbol from shared row gathers ----
+
+    def _fused_rank_sym(self, c, pos):
+        """(BWT.rank_inclusive(c, pos), stored BWT symbol at pos) via the
+        fused layout; pos in [-1, n-1], pos=-1 -> rank 0.  Value-equivalent to
+        Sequence_RunBlock::Rank + ::Access."""
+        b = self.b
+        posc = jnp.maximum(pos, 0)
+        bi = posc // b
+        r1, typ = self.f_ind.rank1_access(bi)
+        if self.b_lt_n:
+            ranki = jnp.where(typ == 1, r1, bi + 1 - r1)
+        else:
+            ranki = jnp.ones_like(bi)
+        other = (bi + 1) - ranki
+
+        is_lit = typ == 0
+        lit_pos = jnp.where(is_lit, (ranki - 1) * b + posc % b, other * b - 1)
+        run_pos = jnp.where(is_lit, other - 1, ranki - 1)
+        lit_rank, lit_sym = self.f_lit.rank_sym(c, lit_pos)
+        run_rank, run_sym = self.f_run.rank_sym(c, run_pos)
+
+        in_run = run_sym == c
+        run_part = jnp.where(in_run, (run_rank - 1) * b + posc % b + 1,
+                             run_rank * b)
+        ret = jnp.where(is_lit, lit_rank + run_rank * b, run_part + lit_rank)
+        sym = jnp.where(is_lit, lit_sym, run_sym)
+        return jnp.where(pos < 0, 0, ret), sym
+
     def rank(self, c, p, inclusive):
         """FMIndex::Rank with displaced-last-char correction (FMIndex.hpp:352-362)."""
         if inclusive:
@@ -241,7 +278,20 @@ class DeviceFM:
         return r + corr.astype(r.dtype)
 
     def backward_extend(self, c, sp, ep):
+        """FMIndex::BackwardExtend (reference compactds/FMIndex.hpp:364-379).
+        Fast path: 6 fused row gathers total (3 per boundary), with the sp==ep
+        shortcut's BWT access coming from the same rows."""
         off = self.psum[c]
+        if self.fast:
+            r_sp, _ = self._fused_rank_sym(c, sp - 1)
+            r_ep, sym_ep = self._fused_rank_sym(c, ep)
+            corr_excl = ((c == self.last_chr) & (sp <= self.first_isa)).astype(r_sp.dtype)
+            corr_incl = ((c == self.last_chr) & (ep < self.first_isa)).astype(r_ep.dtype)
+            nsp = off + r_sp + corr_excl
+            nep_rank = off + r_ep + corr_incl - 1
+            same = sp == ep
+            nep = jnp.where(same, nsp + jnp.where(sym_ep == c, 0, -1), nep_rank)
+            return nsp, nep
         nsp = off + self.rank(c, sp, inclusive=False)
         r_ep = off + self.rank(c, ep, inclusive=True) - 1
         same = sp == ep
@@ -250,6 +300,14 @@ class DeviceFM:
         return nsp, nep
 
     def lf(self, p):
+        """LF-mapping; fast path derives the stored symbol and its rank from
+        one shared set of row gathers."""
+        if self.fast:
+            # first gather: symbol at p (rank value for a dummy c is discarded)
+            _, sym = self._fused_rank_sym(jnp.zeros_like(p), p)
+            r, _ = self._fused_rank_sym(sym, p)
+            corr = ((sym == self.last_chr) & (p < self.first_isa)).astype(r.dtype)
+            return self.psum[sym] + r + corr - 1
         c = self.bwt_access(p)
         return self.psum[c] + self.rank(c, p, inclusive=True) - 1
 

@@ -1,0 +1,138 @@
+"""Fused-row device structures: one rank = one contiguous row gather.
+
+This is the TPU analogue of Rank9's counter/data interleaving (reference
+compactds/DS_Rank.hpp:196-197 keeps counts and bits in adjacent cache lines):
+each 256-symbol block of a 2-bit packed stream is stored as one uint32 row
+
+    [occ_A, occ_C, occ_G, occ_T, prev_last_word, w0..w15]   (21 words, 84 B)
+
+so a batched rank(c, pos) is a single [B, 21] gather + vectorized popcount.
+The `prev_last_word` column makes the symbol at `pos` extractable from the
+same row even at the pos % 256 == 255 edge (where the rank row is the next
+block), so backward_extend and LF-mapping need no separate access gather.
+
+The indicator bitvector rows are  [cum, prev_last_word, w0..w7]  (10 words).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+OCC_BLOCK = 256
+IND_BLOCK = 256  # bits per indicator row
+
+
+def build_fused_stream(ps):
+    """ps: host PackedSeq with width==2. Returns uint32 [rows, 21]."""
+    assert ps.width == 2 and ps.sigma <= 4
+    n = ps.n
+    nrows = n // OCC_BLOCK + 1
+    rows = np.zeros((max(nrows, 1), 21), dtype=np.uint32)
+    occ = ps.occ  # [nblk, sigma] int64, counts before i*256
+    for c in range(ps.sigma):
+        rows[:, c] = occ[:nrows, c].astype(np.uint32)
+    words = ps.words
+    nw = len(words)
+    for r in range(nrows):
+        lo = r * 16
+        hi = min(lo + 16, nw)
+        if lo < nw:
+            rows[r, 5:5 + hi - lo] = words[lo:hi]
+        if lo > 0:
+            rows[r, 4] = words[lo - 1]
+    return jnp.asarray(rows)
+
+
+def build_fused_indicator(bv):
+    """bv: host Bitvector. Returns uint32 [rows, 10]."""
+    n = bv.n
+    nrows = n // IND_BLOCK + 1
+    rows = np.zeros((max(nrows, 1), 10), dtype=np.uint32)
+    words = bv.words
+    nw = len(words)
+    # cum at 256-bit granularity == host cum at RANK_WORDS=8 words
+    for r in range(nrows):
+        rows[r, 0] = np.uint32(bv.cum[min(r, len(bv.cum) - 1)])
+        lo = r * 8
+        hi = min(lo + 8, nw)
+        if lo < nw:
+            rows[r, 2:2 + hi - lo] = words[lo:hi]
+        if lo > 0:
+            rows[r, 1] = words[lo - 1]
+    return jnp.asarray(rows)
+
+
+def _popcount_2bit_prefix(words, c, upto):
+    """words: [B, 16] uint32; count symbol c in the first `upto` (0..256)
+    2-bit slots."""
+    pattern = c[:, None].astype(jnp.uint32) * jnp.uint32(0x55555555)
+    x = ~(words ^ pattern)
+    m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+    take = jnp.clip(upto[:, None] - jnp.arange(16, dtype=jnp.int32)[None, :] * 16,
+                    0, 16)
+    nbits = (take * 2).astype(jnp.uint32)
+    mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                     (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
+    m = m & (mask & jnp.uint32(0x55555555))
+    return jnp.sum(lax.population_count(m), axis=1).astype(jnp.int32)
+
+
+class FusedStream:
+    """Device 2-bit stream with one-gather rank+access."""
+
+    def __init__(self, ps):
+        self.n = ps.n
+        self.rows = build_fused_stream(ps)
+
+    def gather(self, pos):
+        """pos: [B] int32 in [-1, n-1]. Returns row data [B, 21]."""
+        pos1 = jnp.maximum(pos, -1) + 1       # 0..n
+        r = pos1 >> 8
+        return self.rows[r], pos1
+
+    def rank_sym(self, c, pos):
+        """(rank_incl(c, pos), symbol at pos). pos in [-1, n-1]; pos=-1 -> rank 0.
+        Symbol is valid for pos >= 0."""
+        row, pos1 = self.gather(pos)
+        base = jnp.take_along_axis(row[:, :4], c[:, None].astype(jnp.int32),
+                                   axis=1)[:, 0].astype(jnp.int32)
+        upto = (pos1 & 255).astype(jnp.int32)
+        cnt = _popcount_2bit_prefix(row[:, 5:21], c, upto)
+        rank = base + cnt
+        rank = jnp.where(pos < 0, 0, rank)
+        # symbol at pos: in-row word index (pos - row_base*256) >> 4, or the
+        # prev_last word when pos lands in the previous block (pos%256 == 255)
+        in_row = pos - ((pos1 >> 8) << 8)      # [-1 .. 254] hmm: pos - r*256
+        widx = jnp.clip(in_row >> 4, 0, 15)
+        w = jnp.where(in_row[:, None] < 0, row[:, 4:5],
+                      jnp.take_along_axis(row[:, 5:21], widx[:, None], axis=1))[:, 0]
+        sym = (w >> ((pos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)
+        return rank, sym.astype(jnp.int32)
+
+
+class FusedIndicator:
+    def __init__(self, bv):
+        self.n = bv.n
+        self.rows = build_fused_indicator(bv)
+
+    def rank1_access(self, bi):
+        """(rank1_inclusive(bi), bit at bi) in one gather. bi >= 0."""
+        pos1 = bi + 1
+        r = pos1 >> 8
+        row = self.rows[r]
+        base = row[:, 0].astype(jnp.int32)
+        within = (pos1 & 255).astype(jnp.int32)       # bits to count in this row
+        words = row[:, 2:10]
+        take = jnp.clip(within[:, None] - jnp.arange(8, dtype=jnp.int32)[None, :] * 32,
+                        0, 32)
+        nbits = take.astype(jnp.uint32)
+        mask = jnp.where(nbits >= 32, jnp.uint32(0xFFFFFFFF),
+                         (jnp.uint32(1) << jnp.minimum(nbits, 31)) - jnp.uint32(1))
+        cnt = jnp.sum(lax.population_count(words & mask), axis=1).astype(jnp.int32)
+        rank = base + cnt
+        in_row = bi - (r << 8)                         # [-1..254]
+        widx = jnp.clip(in_row >> 5, 0, 7)
+        w = jnp.where(in_row[:, None] < 0, row[:, 1:2],
+                      jnp.take_along_axis(words, widx[:, None], axis=1))[:, 0]
+        bit = (w >> (bi & 31).astype(jnp.uint32)) & jnp.uint32(1)
+        return rank, bit.astype(jnp.int32)
