@@ -2,21 +2,22 @@
 
 Architecture (vs the per-read loops of the reference, CentrifugerClass.cpp:234-284):
   1. every read contributes forward + reverse-complement strand lanes (and the
-     mate's), all packed into one [B, L] uint8 batch;
+     mate's), all packed into one [B, L] uint8 batch (vectorized encoding);
   2. one device `chain_search` computes every semi-maximal hit chain in
      lockstep (DeviceFM.chain_search);
-  3. the rare hit-boundary adjustment (both strands overlapping, reference
-     Classifier.hpp:291-389) runs host-side with scalar searches;
-  4. all SA-range rows from all surviving hits resolve in one device LF-walk
-     (`resolve_rows`), then host-side scoring/taxonomy finishes per read.
+  3. reads whose strands both hit (candidates for the reference's hit-boundary
+     adjustment, Classifier.hpp:291-389) take the exact scalar path; the rest
+     take the fully vectorized host finalizer (classify/finalize.py) with one
+     batched device LF-walk for all SA-range rows.
 
 Results are bit-identical to ClassifierNP (and therefore to the reference
-binary) — enforced by tests/test_engine_jax.py and the golden TSV tests.
+binary) — enforced by the golden TSV tests.
 """
 
 import numpy as np
 
 from .engine_np import ClassifierNP, ClassifierResult, BWTHit
+from .finalize import finalize_units
 from ..fm.device import DeviceFM
 from ..utils import COMP_TABLE
 
@@ -36,140 +37,167 @@ class ClassifierJax(ClassifierNP):
     def __init__(self, fm, taxonomy, param, protein=False):
         super().__init__(fm, taxonomy, param, protein=protein)
         self.dev = DeviceFM(fm)
+        self.stats = {"fast_units": 0, "slow_units": 0}
 
-    # -------------------------------------------------------------- batching
+    # ------------------------------------------------------------- primitives
 
-    def _chain_search_batch(self, lane_codes):
-        """lane_codes: list of uint8 arrays (255-coded). Returns list of hit
-        lists [(sp, ep, l, offset), ...] per lane, in chain order."""
-        if not lane_codes:
-            return []
-        mhl = self.param.min_hit_len
-        maxlen = max(len(c) for c in lane_codes)
+    def _encode_lanes(self, raws):
+        """Vectorized encode of reads + their revcomps.
+        raws: list of uint8 arrays. Returns (codes [2R, L], lengths [2R]):
+        lane 2i = forward, lane 2i+1 = revcomp."""
+        R = len(raws)
+        maxlen = max((len(r) for r in raws), default=1)
         L = max(_round_up(max(maxlen, 32), 64), 64)
-        B = _next_pow2(len(lane_codes))
-        H = max(L // (mhl + 1) + 1, 1)
-        codes = np.full((B, L), 255, dtype=np.uint8)
-        lengths = np.zeros(B, dtype=np.int32)
-        for i, c in enumerate(lane_codes):
-            codes[i, :len(c)] = c
-            lengths[i] = len(c)
-        out = self.dev.chain_search(codes, lengths, mhl, H)
-        nhits = np.asarray(out["nhits"])
-        hsp = np.asarray(out["sp"])
-        hep = np.asarray(out["ep"])
-        hl = np.asarray(out["l"])
-        hoff = np.asarray(out["off"])
-        res = []
-        for i in range(len(lane_codes)):
-            cnt = int(nhits[i])
-            res.append([(int(hsp[i, j]), int(hep[i, j]), int(hl[i, j]),
-                         int(hoff[i, j])) for j in range(cnt)])
-        return res
+        lens = np.fromiter((len(r) for r in raws), np.int32, R)
+        flat = np.concatenate(raws) if R else np.zeros(0, np.uint8)
+        starts = np.zeros(R + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        fwd = np.full((R, L), 255, np.uint8)
+        # scatter reads into the padded matrix
+        ridx = np.repeat(np.arange(R), lens)
+        cidx = np.arange(len(flat)) - starts[ridx]
+        fwd[ridx, cidx] = self.encode[flat]
+        # revcomp lanes: complement codes = 3 - code (A<->T, C<->G), reversed
+        rc = np.full((R, L), 255, np.uint8)
+        rc_codes = np.where(fwd[ridx, cidx] == 255, 255, 3 - fwd[ridx, cidx])
+        rc[ridx, lens[ridx] - 1 - cidx] = rc_codes
+        codes = np.empty((2 * R, L), np.uint8)
+        codes[0::2] = fwd
+        codes[1::2] = rc
+        lengths = np.repeat(lens, 2).astype(np.int32)
+        return codes, lengths
 
-    def _resolve_batch(self, row_arrays):
-        """row_arrays: list of int64 np arrays. One device LF-walk for all."""
-        total = sum(len(r) for r in row_arrays)
-        if total == 0:
-            return [np.zeros(0, dtype=np.int64) for _ in row_arrays]
-        flat = np.concatenate(row_arrays).astype(np.int64)
-        M = _next_pow2(len(flat))
-        rows = np.zeros(M, dtype=np.int64)
-        rows[:len(flat)] = flat
-        valid = np.zeros(M, dtype=bool)
-        valid[:len(flat)] = True
-        out = np.asarray(self.dev.resolve_rows(rows.astype(np.int64), valid))
-        res = []
-        off = 0
-        for r in row_arrays:
-            res.append(out[off:off + len(r)].astype(np.int64))
-            off += len(r)
-        return res
+    def _chain_search_codes(self, codes, lengths):
+        """Run device chain search on a [B, L] batch; returns per-lane numpy
+        hit arrays (sp, ep, l, off, nhits)."""
+        B0, L = codes.shape
+        mhl = self.param.min_hit_len
+        B = _next_pow2(max(B0, 1))
+        H = max(L // (mhl + 1) + 1, 1)
+        if B != B0:
+            codes = np.concatenate(
+                [codes, np.full((B - B0, L), 255, np.uint8)])
+            lengths = np.concatenate([lengths, np.zeros(B - B0, np.int32)])
+        out = self.dev.chain_search(codes, lengths, mhl, H)
+        return (np.asarray(out["sp"])[:B0], np.asarray(out["ep"])[:B0],
+                np.asarray(out["l"])[:B0], np.asarray(out["off"])[:B0],
+                np.asarray(out["nhits"])[:B0])
+
+    def _resolve_batch_rows(self, rows):
+        """One device LF-walk for a flat row array."""
+        if len(rows) == 0:
+            return np.zeros(0, np.int64)
+        M = _next_pow2(len(rows))
+        pad = np.zeros(M, np.int64)
+        pad[:len(rows)] = rows
+        valid = np.zeros(M, bool)
+        valid[:len(rows)] = True
+        return np.asarray(self.dev.resolve_rows(pad, valid))[:len(rows)].astype(np.int64)
 
     # ------------------------------------------------------------ main entry
 
     def query_batch(self, queries):
         if self.protein:
-            # translated search stays on the host oracle path for now
             return [self.query(r1, r2) for r1, r2 in queries]
 
-        # 1. build strand lanes: per query, lanes in order
-        #    [r1 fwd, r1 rc, (r2 fwd, r2 rc)]
-        lane_codes = []
-        lane_map = []  # per query: (idx_r1fwd, idx_r1rc, idx_r2fwd|None, idx_r2rc|None)
-        raws = []
-        for r1, r2 in queries:
-            rc1 = COMP_TABLE[r1][::-1]
-            idxs = [len(lane_codes), len(lane_codes) + 1]
-            lane_codes.append(self.encode[r1])
-            lane_codes.append(self.encode[rc1])
-            if r2 is not None:
-                rc2 = COMP_TABLE[r2][::-1]
-                idxs += [len(lane_codes), len(lane_codes) + 1]
-                lane_codes.append(self.encode[r2])
-                lane_codes.append(self.encode[rc2])
-            else:
-                idxs += [None, None]
-            lane_map.append(idxs)
-            raws.append((r1, rc1, r2))
+        # 1. vectorized strand-lane encoding: r1 lanes then (optionally) r2 lanes
+        raws1 = [q[0] for q in queries]
+        has_r2 = [q[1] is not None for q in queries]
+        raws2 = [q[1] for q in queries if q[1] is not None]
+        codes1, len1 = self._encode_lanes(raws1)
+        hits1 = self._chain_search_codes(codes1, len1)
+        if raws2:
+            codes2, len2 = self._encode_lanes(raws2)
+            # match L with codes1 if different (separate batches are fine)
+            hits2 = self._chain_search_codes(codes2, len2)
+        r2_lane = {}
+        j = 0
+        for qi, hr2 in enumerate(has_r2):
+            if hr2:
+                r2_lane[qi] = j
+                j += 1
 
-        chain_hits = self._chain_search_batch(lane_codes)
+        def lane_hits(h, lane):
+            sp, ep, hl, off, nh = h
+            n = int(nh[lane])
+            return [(int(sp[lane, m]), int(ep[lane, m]), int(hl[lane, m]),
+                     int(off[lane, m])) for m in range(n)]
 
-        # 2. per read: strand hit lists + boundary adjustment + strand choice
-        all_hits = []  # final hit list per query
+        # 2. route units: adjustment candidates -> exact scalar path
+        results = [None] * len(queries)
+        fast_units = []
+        fast_qidx = []
         for qi, (r1, r2) in enumerate(queries):
-            i_f1, i_r1, i_f2, i_r2 = lane_map[qi]
-            strand_hits = [
-                [BWTHit(*h, 0) for h in chain_hits[i_r1]],
-                [BWTHit(*h, 0) for h in chain_hits[i_f1]],
-            ]
-            codes1 = lane_codes[i_f1]
-            rc_codes1 = lane_codes[i_r1]
-            self.adjust_hit_boundary(codes1, rc_codes1, len(r1), strand_hits)
+            f1 = lane_hits(hits1, 2 * qi)
+            rc1 = lane_hits(hits1, 2 * qi + 1)
             if r2 is not None:
-                r2_strand = [
-                    [BWTHit(*h, 0) for h in chain_hits[i_r2]],
-                    [BWTHit(*h, 0) for h in chain_hits[i_f2]],
-                ]
-                self.adjust_hit_boundary(lane_codes[i_f2], lane_codes[i_r2],
-                                         len(r2), r2_strand)
-                for k in range(2):
-                    strand_hits[k].extend(r2_strand[1 - k])
-            strand_score = [0, 0]
-            for k in range(2):
-                for h in strand_hits[k]:
-                    h.strand = 2 * k - 1
-                strand_score[k] = self.hits_score(strand_hits[k])
-            if strand_score[1] > strand_score[0]:
-                hits = strand_hits[1]
-            elif strand_score[0] > strand_score[1]:
-                hits = strand_hits[0]
+                lj = r2_lane[qi]
+                f2 = lane_hits(hits2, 2 * lj)
+                rc2 = lane_hits(hits2, 2 * lj + 1)
             else:
-                hits = strand_hits[1] + strand_hits[0]
-            all_hits.append(hits)
+                f2 = rc2 = None
+            needs_adjust = (len(f1) > 0 and len(rc1) > 0) or \
+                (f2 is not None and len(f2) > 0 and len(rc2) > 0)
+            if needs_adjust:
+                self.stats["slow_units"] += 1
+                results[qi] = self._query_exact_unit(
+                    r1, r2, codes1[2 * qi], codes1[2 * qi + 1],
+                    None if r2 is None else codes2[2 * r2_lane[qi]],
+                    None if r2 is None else codes2[2 * r2_lane[qi] + 1],
+                    f1, rc1, f2, rc2)
+                continue
+            self.stats["fast_units"] += 1
+            # strand selection without adjustment (Classifier.hpp:542-562)
+            s_plus = [h for h in f1] + ([h for h in rc2] if rc2 else [])
+            s_minus = [h for h in rc1] + ([h for h in f2] if f2 else [])
+            sc_plus = sum(self.hit_score(h[2]) for h in s_plus)
+            sc_minus = sum(self.hit_score(h[2]) for h in s_minus)
+            if sc_plus > sc_minus:
+                chosen = [(h, 1) for h in s_plus]
+            elif sc_minus > sc_plus:
+                chosen = [(h, -1) for h in s_minus]
+            else:
+                chosen = [(h, 1) for h in s_plus] + [(h, -1) for h in s_minus]
+            hits = dict(
+                sp=np.array([h[0] for h, s in chosen], np.int64),
+                ep=np.array([h[1] for h, s in chosen], np.int64),
+                l=np.array([h[2] for h, s in chosen], np.int64),
+                off=np.array([h[3] for h, s in chosen], np.int64),
+                strand=np.array([s for h, s in chosen], np.int64),
+            )
+            ql = len(r1) + (len(r2) if r2 is not None else 0)
+            fast_units.append(dict(hits=hits, query_length=ql))
+            fast_qidx.append(qi)
 
-        # 3. batched SA resolution for every hit of every read
-        row_arrays = []
-        hit_row_index = []  # per query: list of row-array indices per hit
-        for hits in all_hits:
-            idxs = []
-            for h in hits:
-                if h.l < self.param.min_hit_len:
-                    idxs.append(None)
-                    continue
-                idxs.append(len(row_arrays))
-                row_arrays.append(self.rows_for_hit(h))
-            hit_row_index.append(idxs)
-        resolved_flat = self._resolve_batch(row_arrays)
-
-        # 4. host-side scoring + taxonomy per read
-        results = []
-        for qi, (r1, r2) in enumerate(queries):
-            hits = all_hits[qi]
-            resolved = [resolved_flat[j] if j is not None else None
-                        for j in hit_row_index[qi]]
-            result = ClassifierResult()
-            self.classify_from_hits(hits, result, resolved=resolved)
-            result.query_length = len(r1) + (len(r2) if r2 is not None else 0)
-            results.append(result)
+        # 3. vectorized finalize for the fast units
+        if fast_units:
+            fast_results = finalize_units(self, fast_units, self._resolve_batch_rows)
+            for qi, res in zip(fast_qidx, fast_results):
+                results[qi] = res
         return results
+
+    def _query_exact_unit(self, r1, r2, c1f, c1r, c2f, c2r, f1, rc1, f2, rc2):
+        """Exact scalar path for adjustment-candidate reads, reusing the
+        device-computed chains."""
+        strand_hits = [[BWTHit(*h, 0) for h in rc1], [BWTHit(*h, 0) for h in f1]]
+        self.adjust_hit_boundary(c1f[:len(r1)], c1r[:len(r1)], len(r1), strand_hits)
+        if r2 is not None:
+            r2_strand = [[BWTHit(*h, 0) for h in rc2], [BWTHit(*h, 0) for h in f2]]
+            self.adjust_hit_boundary(c2f[:len(r2)], c2r[:len(r2)], len(r2), r2_strand)
+            for k in range(2):
+                strand_hits[k].extend(r2_strand[1 - k])
+        strand_score = [0, 0]
+        for k in range(2):
+            for h in strand_hits[k]:
+                h.strand = 2 * k - 1
+            strand_score[k] = self.hits_score(strand_hits[k])
+        if strand_score[1] > strand_score[0]:
+            hits = strand_hits[1]
+        elif strand_score[0] > strand_score[1]:
+            hits = strand_hits[0]
+        else:
+            hits = strand_hits[1] + strand_hits[0]
+        result = ClassifierResult()
+        self.classify_from_hits(hits, result)
+        result.query_length = len(r1) + (len(r2) if r2 is not None else 0)
+        return result
