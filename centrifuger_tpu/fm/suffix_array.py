@@ -9,17 +9,50 @@ match the reference's sentinel-free ordering where a shorter suffix sorts before
 any suffix it prefixes (SubrangeCompare, compactds/FixedSizeElemArray.hpp:283-...).
 """
 
+import ctypes
+
 import numpy as np
 
 
-def suffix_array(codes):
-    """SA of the code sequence (no sentinel; shorter-suffix-first ordering)."""
+def suffix_array(codes, sigma=None):
+    """SA of the code sequence (no sentinel; shorter-suffix-first ordering).
+    Uses the native linear-time SA-IS builder when available, falling back to
+    NumPy prefix doubling."""
     codes = np.asarray(codes)
     n = len(codes)
     if n == 0:
         return np.zeros(0, dtype=np.int64)
     if n == 1:
         return np.zeros(1, dtype=np.int64)
+    sa = _sais(codes, sigma)
+    if sa is not None:
+        return sa
+    return _suffix_array_doubling(codes)
+
+
+def _sais(codes, sigma):
+    from ..native import load
+    lib = load("sais")
+    if lib is None:
+        return None
+    if sigma is None:
+        sigma = int(codes.max()) + 1
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    sa = np.empty(len(codes), dtype=np.int64)
+    fn = lib.sais_u8
+    fn.argtypes = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                   ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)]
+    fn.restype = ctypes.c_int
+    rc = fn(codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            len(codes), sigma,
+            sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    if rc != 0:
+        return None
+    return sa
+
+
+def _suffix_array_doubling(codes):
+    n = len(codes)
     rank = codes.astype(np.int64)
     idx = np.arange(n, dtype=np.int64)
     k = 1
