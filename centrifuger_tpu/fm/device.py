@@ -156,13 +156,13 @@ class DeviceFM:
         self.lit_empty = fm.bwt.lit.n == 0
         self.run_empty = fm.bwt.run.n == 0
 
-        # fused one-gather-per-rank layout (DNA + int32 fast path)
+        # fused mega-table layout (DNA + int32 fast path): all rank rows in one
+        # uint32 table so one backward_extend = two gather rounds total
         self.fast = (fm.sigma == 4 and idtype == jnp.int32)
         if self.fast:
-            from .device_fused import FusedStream, FusedIndicator
-            self.f_ind = FusedIndicator(fm.bwt.indicator)
-            self.f_lit = FusedStream(fm.bwt.lit)
-            self.f_run = FusedStream(fm.bwt.run)
+            from .device_fused import build_mega_table
+            self.mega, self.m_ind, self.m_lit, self.m_run = build_mega_table(
+                fm.bwt.indicator, fm.bwt.lit, fm.bwt.run)
 
         self.psum = jnp.asarray(fm.psum.astype(idtype))
         self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
@@ -238,27 +238,80 @@ class DeviceFM:
             if not self.run_empty else jnp.zeros_like(idx, dtype=jnp.int32)
         return jnp.where(typ == 0, lit_v, run_v)
 
-    # ---- fused fast path: rank + stored symbol from shared row gathers ----
+    # ---- fused fast path: rank + stored symbol in two gather rounds ----
 
     def _fused_rank_sym(self, c, pos):
         """(BWT.rank_inclusive(c, pos), stored BWT symbol at pos) via the
-        fused layout; pos in [-1, n-1], pos=-1 -> rank 0.  Value-equivalent to
-        Sequence_RunBlock::Rank + ::Access."""
+        mega-table; pos in [-1, n-1], pos=-1 -> rank 0.  Value-equivalent to
+        Sequence_RunBlock::Rank + ::Access.  Two gathers total: the indicator
+        row round, then one stacked round for the lit+run stream rows."""
         b = self.b
         posc = jnp.maximum(pos, 0)
         bi = posc // b
-        r1, typ = self.f_ind.rank1_access(bi)
+
+        # round 1: indicator row -> rank1 + type bit
+        ipos1 = bi + 1
+        irow = self.mega[self.m_ind + (ipos1 >> 8)]
+        ibase = irow[:, 0].astype(jnp.int32)
+        within = (ipos1 & 255).astype(jnp.int32)
+        iwords = irow[:, 2:10]
+        itake = jnp.clip(within[:, None]
+                         - jnp.arange(8, dtype=jnp.int32)[None, :] * 32, 0, 32)
+        inb = itake.astype(jnp.uint32)
+        imask = jnp.where(inb >= 32, jnp.uint32(0xFFFFFFFF),
+                          (jnp.uint32(1) << jnp.minimum(inb, 31)) - jnp.uint32(1))
+        r1 = ibase + jnp.sum(lax.population_count(iwords & imask),
+                             axis=1).astype(jnp.int32)
+        iin_row = bi - ((ipos1 >> 8) << 8)
+        iwidx = jnp.clip(iin_row >> 5, 0, 7)
+        iw = jnp.where(iin_row[:, None] < 0, irow[:, 1:2],
+                       jnp.take_along_axis(iwords, iwidx[:, None], axis=1))[:, 0]
+        typ = ((iw >> (bi & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
+
         if self.b_lt_n:
             ranki = jnp.where(typ == 1, r1, bi + 1 - r1)
         else:
             ranki = jnp.ones_like(bi)
         other = (bi + 1) - ranki
-
         is_lit = typ == 0
+
+        # round 2: one stacked gather for the lit row and the run row
         lit_pos = jnp.where(is_lit, (ranki - 1) * b + posc % b, other * b - 1)
         run_pos = jnp.where(is_lit, other - 1, ranki - 1)
-        lit_rank, lit_sym = self.f_lit.rank_sym(c, lit_pos)
-        run_rank, run_sym = self.f_run.rank_sym(c, run_pos)
+        spos = jnp.concatenate([lit_pos, run_pos])
+        sidx = jnp.concatenate([self.m_lit + ((lit_pos + 1) >> 8),
+                                self.m_run + ((run_pos + 1) >> 8)])
+        srow = self.mega[sidx]
+        c2 = jnp.concatenate([c, c]).astype(jnp.uint32)
+        pos1 = spos + 1
+        # occ base: arithmetic select of column c (stays in one fused kernel)
+        sbase = (jnp.where(c2 == 0, srow[:, 0], 0)
+                 + jnp.where(c2 == 1, srow[:, 1], 0)
+                 + jnp.where(c2 == 2, srow[:, 2], 0)
+                 + jnp.where(c2 == 3, srow[:, 3], 0)).astype(jnp.int32)
+        swords = srow[:, 5:21]
+        upto = (pos1 & 255).astype(jnp.int32)
+        pattern = c2 * jnp.uint32(0x55555555)
+        x = ~(swords ^ pattern[:, None])
+        m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+        stake = jnp.clip(upto[:, None]
+                         - jnp.arange(16, dtype=jnp.int32)[None, :] * 16, 0, 16)
+        snb = (stake * 2).astype(jnp.uint32)
+        smask = jnp.where(snb >= 32, jnp.uint32(0xFFFFFFFF),
+                          (jnp.uint32(1) << jnp.minimum(snb, 31)) - jnp.uint32(1))
+        m = m & (smask & jnp.uint32(0x55555555))
+        scnt = jnp.sum(lax.population_count(m), axis=1).astype(jnp.int32)
+        srank = jnp.where(spos < 0, 0, sbase + scnt)
+        sin_row = spos - ((pos1 >> 8) << 8)
+        swidx = jnp.clip(sin_row >> 4, 0, 15)
+        sw = jnp.where(sin_row[:, None] < 0, srow[:, 4:5],
+                       jnp.take_along_axis(swords, swidx[:, None], axis=1))[:, 0]
+        ssym = ((sw >> ((spos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
+            .astype(jnp.int32)
+
+        M = pos.shape[0]
+        lit_rank, run_rank = srank[:M], srank[M:]
+        lit_sym, run_sym = ssym[:M], ssym[M:]
 
         in_run = run_sym == c
         run_part = jnp.where(in_run, (run_rank - 1) * b + posc % b + 1,
@@ -283,8 +336,11 @@ class DeviceFM:
         shortcut's BWT access coming from the same rows."""
         off = self.psum[c]
         if self.fast:
-            r_sp, _ = self._fused_rank_sym(c, sp - 1)
-            r_ep, sym_ep = self._fused_rank_sym(c, ep)
+            B = sp.shape[0]
+            r2, sym2 = self._fused_rank_sym(jnp.concatenate([c, c]),
+                                            jnp.concatenate([sp - 1, ep]))
+            r_sp, r_ep = r2[:B], r2[B:]
+            sym_ep = sym2[B:]
             corr_excl = ((c == self.last_chr) & (sp <= self.first_isa)).astype(r_sp.dtype)
             corr_incl = ((c == self.last_chr) & (ep < self.first_isa)).astype(r_ep.dtype)
             nsp = off + r_sp + corr_excl
@@ -413,10 +469,7 @@ class DeviceFM:
             ep=jnp.zeros(B, it),
             phase=jnp.zeros(B, jnp.int32),  # 0 = START, 1 = EXTEND
             nhits=jnp.zeros(B, jnp.int32),
-            hsp=jnp.zeros((B, H), it),
-            hep=jnp.zeros((B, H), it),
-            hl=jnp.zeros((B, H), jnp.int32),
-            hoff=jnp.zeros((B, H), jnp.int32),
+            hits=jnp.zeros((B, H, 4), it),  # packed (sp, ep, l, off)
         )
 
         lane = jnp.arange(B)
@@ -427,10 +480,9 @@ class DeviceFM:
             cond_hit = do_record & (l >= mhl) & (sp <= ep) & (st["nhits"] < H)
             sel = cond_hit[:, None] & (slots == st["nhits"][:, None])
             st = dict(st)
-            st["hsp"] = jnp.where(sel, sp[:, None], st["hsp"])
-            st["hep"] = jnp.where(sel, ep[:, None], st["hep"])
-            st["hl"] = jnp.where(sel, l[:, None], st["hl"])
-            st["hoff"] = jnp.where(sel, (lengths - st["rem"])[:, None], st["hoff"])
+            new = jnp.stack([sp.astype(it), ep.astype(it), l.astype(it),
+                             (lengths - st["rem"]).astype(it)], axis=-1)[:, None, :]
+            st["hits"] = jnp.where(sel[:, :, None], new, st["hits"])
             st["nhits"] = st["nhits"] + cond_hit.astype(jnp.int32)
             return st
 
@@ -503,7 +555,8 @@ class DeviceFM:
             return st2
 
         st = lax.while_loop(cond, body, state)
-        return dict(sp=st["hsp"], ep=st["hep"], l=st["hl"], off=st["hoff"],
+        h = st["hits"]
+        return dict(sp=h[:, :, 0], ep=h[:, :, 1], l=h[:, :, 2], off=h[:, :, 3],
                     nhits=st["nhits"])
 
     @partial(jax.jit, static_argnums=0)

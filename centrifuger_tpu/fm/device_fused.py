@@ -77,6 +77,22 @@ def _popcount_2bit_prefix(words, c, upto):
     return jnp.sum(lax.population_count(m), axis=1).astype(jnp.int32)
 
 
+def build_mega_table(ind_bv, lit_ps, run_ps):
+    """Concatenate indicator/lit/run fused rows into one uint32 [R, 21] table
+    so a batched rank needs just two gather rounds (indicator, then the
+    typ-selected stream).  Returns (table, ind_off, lit_off, run_off)."""
+    ind = np.asarray(build_fused_indicator(ind_bv))      # [Ri, 10]
+    lit = np.asarray(build_fused_stream(lit_ps))         # [Rl, 21]
+    run = np.asarray(build_fused_stream(run_ps))         # [Rr, 21]
+    ind_p = np.zeros((ind.shape[0], 21), dtype=np.uint32)
+    ind_p[:, :10] = ind
+    table = np.concatenate([ind_p, lit, run], axis=0)
+    ind_off = 0
+    lit_off = ind.shape[0]
+    run_off = lit_off + lit.shape[0]
+    return jnp.asarray(table), ind_off, lit_off, run_off
+
+
 class FusedStream:
     """Device 2-bit stream with one-gather rank+access."""
 
