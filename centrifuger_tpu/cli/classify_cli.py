@@ -55,8 +55,16 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     log("Centrifuger(tpu) starts.")
-    protein = is_protein_index(args.index)
-    fm, tax, seq_length, meta = load_index(args.index)
+    import os
+    if not os.path.exists(args.index + ".fm.npz") and \
+            os.path.exists(args.index + ".1.cfr"):
+        # reference-built index: load via the .cfr interop reader
+        from ..interop.cfr import load_cfr_index
+        fm, tax, seq_length, meta = load_cfr_index(args.index)
+        protein = meta.get("sequence_type") == "amino_acid"
+    else:
+        protein = is_protein_index(args.index)
+        fm, tax, seq_length, meta = load_index(args.index)
     log("Finishes loading index.")
 
     param = ClassifierParam(max_result=args.max_result,
