@@ -249,23 +249,25 @@ class DeviceFM:
         posc = jnp.maximum(pos, 0)
         bi = posc // b
 
-        # round 1: indicator row -> rank1 + type bit
+        # round 1: indicator row -> rank1 + type bit.  All within-row math is
+        # unrolled elementwise (no axis reductions / take_along) so XLA fuses
+        # it into a single kernel after the gather.
         ipos1 = bi + 1
         irow = self.mega[self.m_ind + (ipos1 >> 8)]
         ibase = irow[:, 0].astype(jnp.int32)
         within = (ipos1 & 255).astype(jnp.int32)
-        iwords = irow[:, 2:10]
-        itake = jnp.clip(within[:, None]
-                         - jnp.arange(8, dtype=jnp.int32)[None, :] * 32, 0, 32)
-        inb = itake.astype(jnp.uint32)
-        imask = jnp.where(inb >= 32, jnp.uint32(0xFFFFFFFF),
-                          (jnp.uint32(1) << jnp.minimum(inb, 31)) - jnp.uint32(1))
-        r1 = ibase + jnp.sum(lax.population_count(iwords & imask),
-                             axis=1).astype(jnp.int32)
         iin_row = bi - ((ipos1 >> 8) << 8)
-        iwidx = jnp.clip(iin_row >> 5, 0, 7)
-        iw = jnp.where(iin_row[:, None] < 0, irow[:, 1:2],
-                       jnp.take_along_axis(iwords, iwidx[:, None], axis=1))[:, 0]
+        iwidx = iin_row >> 5
+        cnt = jnp.zeros_like(bi)
+        iw = jnp.where(iin_row < 0, irow[:, 1], jnp.uint32(0))
+        for j in range(8):
+            wj = irow[:, 2 + j]
+            take = jnp.clip(within - 32 * j, 0, 32).astype(jnp.uint32)
+            mask = jnp.where(take >= 32, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << jnp.minimum(take, 31)) - jnp.uint32(1))
+            cnt = cnt + lax.population_count(wj & mask).astype(jnp.int32)
+            iw = jnp.where(iwidx == j, wj, iw)
+        r1 = ibase + cnt
         typ = ((iw >> (bi & 31).astype(jnp.uint32)) & jnp.uint32(1)).astype(jnp.int32)
 
         if self.b_lt_n:
@@ -289,23 +291,24 @@ class DeviceFM:
                  + jnp.where(c2 == 1, srow[:, 1], 0)
                  + jnp.where(c2 == 2, srow[:, 2], 0)
                  + jnp.where(c2 == 3, srow[:, 3], 0)).astype(jnp.int32)
-        swords = srow[:, 5:21]
         upto = (pos1 & 255).astype(jnp.int32)
         pattern = c2 * jnp.uint32(0x55555555)
-        x = ~(swords ^ pattern[:, None])
-        m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
-        stake = jnp.clip(upto[:, None]
-                         - jnp.arange(16, dtype=jnp.int32)[None, :] * 16, 0, 16)
-        snb = (stake * 2).astype(jnp.uint32)
-        smask = jnp.where(snb >= 32, jnp.uint32(0xFFFFFFFF),
-                          (jnp.uint32(1) << jnp.minimum(snb, 31)) - jnp.uint32(1))
-        m = m & (smask & jnp.uint32(0x55555555))
-        scnt = jnp.sum(lax.population_count(m), axis=1).astype(jnp.int32)
-        srank = jnp.where(spos < 0, 0, sbase + scnt)
         sin_row = spos - ((pos1 >> 8) << 8)
-        swidx = jnp.clip(sin_row >> 4, 0, 15)
-        sw = jnp.where(sin_row[:, None] < 0, srow[:, 4:5],
-                       jnp.take_along_axis(swords, swidx[:, None], axis=1))[:, 0]
+        swidx = sin_row >> 4
+        scnt = jnp.zeros_like(upto)
+        sw = jnp.where(sin_row < 0, srow[:, 4], jnp.uint32(0))
+        for j in range(16):
+            wj = srow[:, 5 + j]
+            x = ~(wj ^ pattern)
+            m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+            take = jnp.clip(upto - 16 * j, 0, 16)
+            nb = (take * 2).astype(jnp.uint32)
+            mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << jnp.minimum(nb, 31)) - jnp.uint32(1))
+            scnt = scnt + lax.population_count(
+                m & mask & jnp.uint32(0x55555555)).astype(jnp.int32)
+            sw = jnp.where(swidx == j, wj, sw)
+        srank = jnp.where(spos < 0, 0, sbase + scnt)
         ssym = ((sw >> ((spos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
             .astype(jnp.int32)
 
@@ -461,6 +464,23 @@ class DeviceFM:
         pw = self.pw
         kfull, tailvalid = self._precompute_read_tables(codes)
 
+        # Precompute every START outcome per (lane, position) BEFORE the loop:
+        # channel 0/1 = ftab (sp, ep); channel 2 = -1 when the ftab range is
+        # usable, else the failed-search length (0 for too-short prefixes,
+        # tv for an invalid char inside the window, pw-1 for an empty range;
+        # GetBackwardSearchInitialRange, reference FMIndex.hpp:388-422).
+        # Inside the loop one take_along gather replaces three.
+        posidx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
+        kc = jnp.clip(kfull, 0, self.ftab_len.shape[0] - 1)
+        p_flen = self.ftab_len[kc]
+        p_fsp = self.ftab_start[kc]
+        p_ok = (tailvalid >= pw) & (p_flen > 0) & (posidx >= pw)
+        lfail = jnp.where(posidx < pw, 0,
+                          jnp.where(tailvalid < pw, tailvalid, pw - 1))
+        pre = jnp.stack([jnp.where(p_ok, p_fsp, 1).astype(it),
+                         jnp.where(p_ok, p_fsp + p_flen - 1, 0).astype(it),
+                         jnp.where(p_ok, -1, lfail).astype(it)], axis=-1)
+
         lengths = lengths.astype(jnp.int32)
         state = dict(
             rem=lengths,
@@ -495,24 +515,16 @@ class DeviceFM:
             extend = active & (st["phase"] == 1)
 
             rem = st["rem"]
-            # ---- START: ftab initial range ----
+            # ---- START: one gather of the precomputed outcome ----
             remc = jnp.clip(rem, 0, L)
-            tv = tailvalid[lane, remc]
-            w = kfull[lane, remc]
-            too_short = rem < pw            # BackwardSearch early return l=0
-            short_tail = (~too_short) & (tv < pw)
-            fl = self.ftab_len[jnp.clip(w, 0, self.ftab_len.shape[0] - 1)]
-            ftab_empty = (~too_short) & (~short_tail) & (fl == 0)
-            ftab_ok = (~too_short) & (~short_tail) & (fl > 0)
-            fsp = self.ftab_start[jnp.clip(w, 0, self.ftab_len.shape[0] - 1)]
-            fep = fsp + fl - 1
+            row3 = jnp.take_along_axis(pre, remc[:, None, None], axis=1)[:, 0, :]
+            ftab_ok = row3[:, 2] < 0
+            fsp = row3[:, 0]
+            fep = row3[:, 1]
             # chain already complete at START (consumed whole prefix)?
             start_done_now = ftab_ok & (pw >= rem)
-
             # consumed positions when the chain ends in this START step
-            start_l = jnp.where(too_short, 0,
-                                jnp.where(short_tail, tv,
-                                          jnp.where(ftab_empty, pw - 1, pw)))
+            start_l = jnp.where(ftab_ok, pw, row3[:, 2]).astype(jnp.int32)
 
             # ---- EXTEND: one BackwardExtend step ----
             cpos = jnp.clip(rem - 1 - st["l"], 0, L - 1)
@@ -530,7 +542,7 @@ class DeviceFM:
 
             # ---- merge outcomes ----
             # chain finishing this step (record + consume + back to START):
-            fin_start = start & (too_short | short_tail | ftab_empty | start_done_now)
+            fin_start = start & ((~ftab_ok) | start_done_now)
             fin_ext = ext_fail | ext_done
             fin = fin_start | fin_ext
 
