@@ -12,6 +12,7 @@ Native index layout: <prefix>.fm.npz, <prefix>.tax.npz, <prefix>.seqlen.npz,
 """
 
 import json
+import os
 import sys
 import time
 
@@ -32,7 +33,7 @@ def log(msg):
 def build_index(genome_files, taxonomy_file, name_table, conversion_table,
                 conversion_at_file_level, output_prefix,
                 concat_same_taxid=False, ignore_uncategorized=False,
-                subset_tax=0, params=None, protein=False):
+                subset_tax=0, params=None, protein=False, checkpoint=False):
     params = params or FMBuildParams()
     alphabet = PROTEIN_ALPHABET if protein else DNA_ALPHABET
     if protein:
@@ -140,7 +141,30 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
     codes = np.concatenate(chunks)
     log("Found %d sequences with total length %d bp." % (len(genome_lens), len(codes)))
 
-    fm = build_fm(codes, genome_lens, genome_seqids, alphabet, params)
+    # --checkpoint: persist the suffix array (the expensive stage) so an
+    # interrupted build resumes without re-sorting (role of the reference's
+    # prefix_checkpoint.{1,2,3} files, compactds/FMBuilder.hpp:52-58; our
+    # builder is single-pass SA-IS so one checkpoint after the sort suffices)
+    precomputed_sa = None
+    ckpt_path = output_prefix + "_checkpoint.npz"
+    if checkpoint:
+        import hashlib
+        digest = hashlib.sha256(codes.tobytes()).hexdigest()[:16]
+        if os.path.exists(ckpt_path):
+            z = np.load(ckpt_path)
+            if str(z["digest"]) == digest:
+                precomputed_sa = z["sa"]
+                log("Resuming from checkpoint (suffix array cached).")
+        if precomputed_sa is None:
+            from .fm.suffix_array import suffix_array
+            precomputed_sa = suffix_array(codes, len(alphabet))
+            np.savez(ckpt_path, digest=digest, sa=precomputed_sa)
+            log("Checkpoint written after suffix sort.")
+
+    fm = build_fm(codes, genome_lens, genome_seqids, alphabet, params,
+                  precomputed_sa=precomputed_sa)
+    if checkpoint and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     log("FM index built; saving.")
 
     save_index(output_prefix, fm, tax, seq_length, protein)

@@ -64,7 +64,8 @@ def main(argv=None):
                 conversion_table, conversion_at_file_level, args.output,
                 concat_same_taxid=args.concat_tax_genome,
                 ignore_uncategorized=args.ignore_uncategorized_genome,
-                subset_tax=args.subset_tax, params=params, protein=args.protein)
+                subset_tax=args.subset_tax, params=params, protein=args.protein,
+                checkpoint=args.checkpoint)
     return 0
 
 

@@ -33,7 +33,8 @@ def _psum_search(psums, v):
     return np.minimum(i, len(psums) - 2)
 
 
-def build_fm(codes, genome_lens, genome_seqids, alphabet, params):
+def build_fm(codes, genome_lens, genome_seqids, alphabet, params,
+             precomputed_sa=None):
     """codes: uint8 concatenated compacted genomes; genome_lens/genome_seqids:
     per-genome lengths and (compact) sequence ids in concatenation order."""
     codes = np.asarray(codes, dtype=np.uint8)
@@ -42,7 +43,7 @@ def build_fm(codes, genome_lens, genome_seqids, alphabet, params):
     pw = params.precompute_width
     code_bits = log2ceil(sigma)
 
-    sa = suffix_array(codes)
+    sa = precomputed_sa if precomputed_sa is not None else suffix_array(codes, sigma)
     bwt_codes, first_isa = bwt_from_sa(codes, sa)
 
     idx = FMIndexData()
