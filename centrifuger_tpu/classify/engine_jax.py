@@ -98,7 +98,7 @@ class ClassifierJax(ClassifierNP):
 
     def query_batch(self, queries):
         if self.protein:
-            return [self.query(r1, r2) for r1, r2 in queries]
+            return self._query_batch_protein(queries)
 
         # 1. vectorized strand-lane encoding: r1 lanes then (optionally) r2 lanes
         raws1 = [q[0] for q in queries]
@@ -175,6 +175,83 @@ class ClassifierJax(ClassifierNP):
             for qi, res in zip(fast_qidx, fast_results):
                 results[qi] = res
         return results
+
+    def _query_batch_protein(self, queries):
+        """Batched translated search: 3 frames x 2 strands per read as device
+        lanes, frame selection + strand choice host-side, vectorized finalize.
+        (TranslatedSearch, reference Classifier.hpp:451-493: best-scoring frame
+        per strand, no hit-boundary adjustment on the protein path.)"""
+        from .translate import translate_frames
+
+        lanes = []          # AA code arrays
+        lane_of = []        # per (read, strand): list of 3 frame lane ids
+        for r1, r2 in queries:
+            for raw in ((r1, COMP_TABLE[r1][::-1]) +
+                        ((r2, COMP_TABLE[r2][::-1]) if r2 is not None else ())):
+                ids = []
+                for aa in translate_frames(raw):
+                    ids.append(len(lanes))
+                    lanes.append(self.encode[aa])
+                lane_of.append(ids)
+
+        if not lanes:
+            return [self.query(r1, r2) for r1, r2 in queries]
+        maxlen = max((len(c) for c in lanes), default=1)
+        L = max(_round_up(max(maxlen, 16), 32), 32)
+        codes = np.full((len(lanes), L), 255, np.uint8)
+        lengths = np.zeros(len(lanes), np.int32)
+        for i, c in enumerate(lanes):
+            codes[i, :len(c)] = c
+            lengths[i] = len(c)
+        hits = self._chain_search_codes(codes, lengths)
+
+        def lane_hits(lane):
+            sp, ep, hl, off, nh = hits
+            n = int(nh[lane])
+            return [(int(sp[lane, m]), int(ep[lane, m]), int(hl[lane, m]),
+                     int(off[lane, m])) for m in range(n)]
+
+        def best_frame(ids):
+            """Frame with max (count * sum-score); ties keep the earlier frame
+            (Classifier.hpp:474-487, strict >)."""
+            best, tag = 0, 0
+            fh = [lane_hits(i) for i in ids]
+            for f in range(3):
+                sc = len(fh[f]) * sum(self.hit_score(h[2]) for h in fh[f])
+                if sc > best:
+                    best, tag = sc, f
+            return fh[tag]
+
+        fast_units = []
+        li = 0
+        for r1, r2 in queries:
+            plus = best_frame(lane_of[li])       # fwd r1
+            minus = best_frame(lane_of[li + 1])  # rc r1
+            li += 2
+            if r2 is not None:
+                plus2 = best_frame(lane_of[li])
+                minus2 = best_frame(lane_of[li + 1])
+                li += 2
+                plus = plus + minus2
+                minus = minus + plus2
+            sc_plus = sum(self.hit_score(h[2]) for h in plus)
+            sc_minus = sum(self.hit_score(h[2]) for h in minus)
+            if sc_plus > sc_minus:
+                chosen = [(h, 1) for h in plus]
+            elif sc_minus > sc_plus:
+                chosen = [(h, -1) for h in minus]
+            else:
+                chosen = [(h, 1) for h in plus] + [(h, -1) for h in minus]
+            hd = dict(
+                sp=np.array([h[0] for h, s in chosen], np.int64),
+                ep=np.array([h[1] for h, s in chosen], np.int64),
+                l=np.array([h[2] for h, s in chosen], np.int64),
+                off=np.array([h[3] for h, s in chosen], np.int64),
+                strand=np.array([s for h, s in chosen], np.int64),
+            )
+            ql = len(r1) + (len(r2) if r2 is not None else 0)
+            fast_units.append(dict(hits=hd, query_length=ql))
+        return finalize_units(self, fast_units, self._resolve_batch_rows)
 
     def _query_exact_unit(self, r1, r2, c1f, c1r, c2f, c2r, f1, rc1, f2, rc2):
         """Exact scalar path for adjustment-candidate reads, reusing the

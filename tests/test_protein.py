@@ -28,3 +28,10 @@ def test_protein_golden(protein_index, tag, extra):
     fx = os.path.join(FIXTURE_DIR, "tiny_protein")
     got = run_classify(fx, protein_index, extra, paired=False)
     assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
+
+
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"])])
+def test_protein_golden_jax(protein_index, tag, extra):
+    fx = os.path.join(FIXTURE_DIR, "tiny_protein")
+    got = run_classify(fx, protein_index, extra, paired=False, engine="jax")
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
