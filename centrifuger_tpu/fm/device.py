@@ -136,7 +136,7 @@ class DeviceBitvector:
 class DeviceFM:
     """Device mirror of FMIndexData with batched query kernels."""
 
-    def __init__(self, fm: FMIndexData):
+    def __init__(self, fm: FMIndexData, serve_layout="plain"):
         self.fm = fm
         self.n = fm.n
         idtype = jnp.int32 if fm.n < (1 << 31) - 8 else jnp.int64
@@ -159,10 +159,24 @@ class DeviceFM:
         # fused mega-table layout (DNA + int32 fast path): all rank rows in one
         # uint32 table so one backward_extend = two gather rounds total
         self.fast = (fm.sigma == 4 and idtype == jnp.int32)
+        # serving layout: "plain" decompresses the run-block BWT into one flat
+        # fused-row table at load time — one gather per rank instead of the
+        # indicator->stream round trip (~2.6 bits/char in HBM vs ~1.3-2
+        # compressed; a TPU-first speed/space tradeoff, the on-disk index stays
+        # run-block compressed)
+        self.serve_layout = serve_layout
+        self.plain_rows = None
         if self.fast:
             from .device_fused import build_mega_table
-            self.mega, self.m_ind, self.m_lit, self.m_run = build_mega_table(
-                fm.bwt.indicator, fm.bwt.lit, fm.bwt.run)
+            if serve_layout == "plain":
+                from .device_fused import build_fused_stream
+                from ..succinct.packed import PackedSeq
+                full = PackedSeq.from_codes(fm.bwt.decode(), fm.sigma)
+                self.plain_rows = build_fused_stream(full)
+            else:
+                self.plain_rows = None
+                self.mega, self.m_ind, self.m_lit, self.m_run = build_mega_table(
+                    fm.bwt.indicator, fm.bwt.lit, fm.bwt.run)
 
         self.psum = jnp.asarray(fm.psum.astype(idtype))
         self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
@@ -241,10 +255,47 @@ class DeviceFM:
     # ---- fused fast path: rank + stored symbol in two gather rounds ----
 
     def _fused_rank_sym(self, c, pos):
-        """(BWT.rank_inclusive(c, pos), stored BWT symbol at pos) via the
-        mega-table; pos in [-1, n-1], pos=-1 -> rank 0.  Value-equivalent to
-        Sequence_RunBlock::Rank + ::Access.  Two gathers total: the indicator
-        row round, then one stacked round for the lit+run stream rows."""
+        """(BWT.rank_inclusive(c, pos), stored BWT symbol at pos);
+        pos in [-1, n-1], pos=-1 -> rank 0.  Value-equivalent to
+        Sequence_RunBlock::Rank + ::Access."""
+        if self.plain_rows is not None:
+            return self._plain_rank_sym(c, pos)
+        return self._runblock_rank_sym(c, pos)
+
+    def _plain_rank_sym(self, c, pos):
+        """One-gather rank over the flat fused-row BWT table."""
+        row = self.plain_rows[(pos + 1) >> 8]
+        pos1 = pos + 1
+        c2 = c.astype(jnp.uint32)
+        base = (jnp.where(c2 == 0, row[:, 0], 0)
+                + jnp.where(c2 == 1, row[:, 1], 0)
+                + jnp.where(c2 == 2, row[:, 2], 0)
+                + jnp.where(c2 == 3, row[:, 3], 0)).astype(jnp.int32)
+        upto = (pos1 & 255).astype(jnp.int32)
+        pattern = c2 * jnp.uint32(0x55555555)
+        in_row = pos - ((pos1 >> 8) << 8)
+        widx = in_row >> 4
+        cnt = jnp.zeros_like(upto)
+        w_sym = jnp.where(in_row < 0, row[:, 4], jnp.uint32(0))
+        for j in range(16):
+            wj = row[:, 5 + j]
+            x = ~(wj ^ pattern)
+            m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
+            take = jnp.clip(upto - 16 * j, 0, 16)
+            nb = (take * 2).astype(jnp.uint32)
+            mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
+                             (jnp.uint32(1) << jnp.minimum(nb, 31)) - jnp.uint32(1))
+            cnt = cnt + lax.population_count(
+                m & mask & jnp.uint32(0x55555555)).astype(jnp.int32)
+            w_sym = jnp.where(widx == j, wj, w_sym)
+        rank = jnp.where(pos < 0, 0, base + cnt)
+        sym = ((w_sym >> ((pos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
+            .astype(jnp.int32)
+        return rank, sym
+
+    def _runblock_rank_sym(self, c, pos):
+        """Two gather rounds over the run-block mega-table (HBM-lean layout):
+        the indicator row round, then one stacked round for lit+run rows."""
         b = self.b
         posc = jnp.maximum(pos, 0)
         bi = posc // b
@@ -477,9 +528,14 @@ class DeviceFM:
         p_ok = (tailvalid >= pw) & (p_flen > 0) & (posidx >= pw)
         lfail = jnp.where(posidx < pw, 0,
                           jnp.where(tailvalid < pw, tailvalid, pw - 1))
+        # channel 3: the read character at p-1, so the EXTEND phase shares the
+        # same per-lane table lookup as START (one take_along per step)
+        prev_char = jnp.concatenate(
+            [jnp.full((B, 1), 255, jnp.int32), codes.astype(jnp.int32)], axis=1)
         pre = jnp.stack([jnp.where(p_ok, p_fsp, 1).astype(it),
                          jnp.where(p_ok, p_fsp + p_flen - 1, 0).astype(it),
-                         jnp.where(p_ok, -1, lfail).astype(it)], axis=-1)
+                         jnp.where(p_ok, -1, lfail).astype(it),
+                         prev_char], axis=-1)
 
         lengths = lengths.astype(jnp.int32)
         state = dict(
@@ -515,20 +571,21 @@ class DeviceFM:
             extend = active & (st["phase"] == 1)
 
             rem = st["rem"]
-            # ---- START: one gather of the precomputed outcome ----
-            remc = jnp.clip(rem, 0, L)
-            row3 = jnp.take_along_axis(pre, remc[:, None, None], axis=1)[:, 0, :]
-            ftab_ok = row3[:, 2] < 0
-            fsp = row3[:, 0]
-            fep = row3[:, 1]
+            # ---- one shared per-lane table lookup for both phases ----
+            # START looks up position rem; EXTEND needs the char at rem-1-l,
+            # stored in channel 3 of position rem-l
+            idx = jnp.clip(jnp.where(st["phase"] == 0, rem, rem - st["l"]), 0, L)
+            row4 = jnp.take_along_axis(pre, idx[:, None, None], axis=1)[:, 0, :]
+            ftab_ok = row4[:, 2] < 0
+            fsp = row4[:, 0]
+            fep = row4[:, 1]
             # chain already complete at START (consumed whole prefix)?
             start_done_now = ftab_ok & (pw >= rem)
             # consumed positions when the chain ends in this START step
-            start_l = jnp.where(ftab_ok, pw, row3[:, 2]).astype(jnp.int32)
+            start_l = jnp.where(ftab_ok, pw, row4[:, 2]).astype(jnp.int32)
 
             # ---- EXTEND: one BackwardExtend step ----
-            cpos = jnp.clip(rem - 1 - st["l"], 0, L - 1)
-            c = codes[lane, cpos].astype(jnp.int32)
+            c = row4[:, 3].astype(jnp.int32)
             c_invalid = c == 255
             c_safe = jnp.where(c_invalid, 0, c)
             nsp, nep = self.backward_extend(
