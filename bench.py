@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 REFBUILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".refbuild")
 
