@@ -252,6 +252,11 @@ class DeviceFM:
             if not self.run_empty else jnp.zeros_like(idx, dtype=jnp.int32)
         return jnp.where(typ == 0, lit_v, run_v)
 
+    def _loop_any(self, x):
+        """Loop-termination reduction; overridden by the sharded view to a
+        cross-shard reduction."""
+        return jnp.any(x)
+
     # ---- fused fast path: rank + stored symbol in two gather rounds ----
 
     def _fused_rank_sym(self, c, pos):
@@ -265,6 +270,11 @@ class DeviceFM:
     def _plain_rank_sym(self, c, pos):
         """One-gather rank over the flat fused-row BWT table."""
         row = self.plain_rows[(pos + 1) >> 8]
+        return self._plain_rank_sym_from_rows(row, c, pos)
+
+    def _plain_rank_sym_from_rows(self, row, c, pos):
+        """Rank/sym compute given pre-fetched fused rows (shared with the
+        sharded-index router, parallel/sharded.py)."""
         pos1 = pos + 1
         c2 = c.astype(jnp.uint32)
         base = (jnp.where(c2 == 0, row[:, 0], 0)
@@ -563,7 +573,10 @@ class DeviceFM:
             return st
 
         def cond(st):
-            return jnp.any(st["rem"] >= mhl)
+            # _loop_any is a global reduction in sharded mode so every shard
+            # runs the same number of iterations (collectives in the body must
+            # stay in lockstep)
+            return self._loop_any(st["rem"] >= mhl)
 
         def body(st):
             active = st["rem"] >= mhl
