@@ -62,8 +62,7 @@ class ShardedChainSearch:
         send_valid = jnp.zeros((D, C), bool).at[sorted_owner, rank_in_bucket].set(True)
 
         # all-to-all: dim 0 is the destination
-        req_rows = lax.all_to_all(send_rows, axis, 0, 0, tiled=True) \
-            if False else _a2a(send_rows, axis)
+        req_rows = _a2a(send_rows, axis)
         req_valid = _a2a(send_valid.astype(jnp.int32), axis)
 
         my_shard = lax.axis_index(axis)
@@ -95,8 +94,7 @@ class ShardedChainSearch:
 
         fn = shard_map(per_chip, mesh=mesh,
                        in_specs=(P(axis, None), P(axis, None), P(axis)),
-                       out_specs=P(axis),
-                       check_rep=False)
+                       out_specs=P(axis), check_vma=False)
         return jax.jit(fn)(table, codes, lengths)
 
 
