@@ -33,6 +33,11 @@ def _next_pow2(x):
     return p
 
 
+def _bucket_size(x, floor=4096):
+    """Coarse shape buckets to bound the number of distinct compiles."""
+    return max(_next_pow2(x), floor)
+
+
 class ClassifierJax(ClassifierNP):
     def __init__(self, fm, taxonomy, param, protein=False):
         super().__init__(fm, taxonomy, param, protein=protein)
@@ -72,7 +77,7 @@ class ClassifierJax(ClassifierNP):
         hit arrays (sp, ep, l, off, nhits)."""
         B0, L = codes.shape
         mhl = self.param.min_hit_len
-        B = _next_pow2(max(B0, 1))
+        B = _bucket_size(max(B0, 1))
         H = max(L // (mhl + 1) + 1, 1)
         if B != B0:
             codes = np.concatenate(
@@ -87,7 +92,7 @@ class ClassifierJax(ClassifierNP):
         """One device LF-walk for a flat row array."""
         if len(rows) == 0:
             return np.zeros(0, np.int64)
-        M = _next_pow2(len(rows))
+        M = _bucket_size(len(rows))
         pad = np.zeros(M, np.int64)
         pad[:len(rows)] = rows
         valid = np.zeros(M, bool)
