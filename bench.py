@@ -170,10 +170,10 @@ def measure_ours(prefix):
     queries = read_queries()
     log("loaded %d reads" % len(queries))
 
-    # warmup (compile) on a full-size batch
-    warm = queries[:BATCH_READS]
+    # warmup pass (compiles every shape bucket incl. the tail batch)
     t0 = time.time()
-    cl.query_batch(warm)
+    for i in range(0, len(queries), BATCH_READS):
+        cl.query_batch(queries[i:i + BATCH_READS])
     log("warmup(+compile): %.1fs" % (time.time() - t0))
 
     # timed end-to-end pass (classification + result objects, excl. TSV I/O)

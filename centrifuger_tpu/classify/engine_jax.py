@@ -17,7 +17,7 @@ binary) — enforced by the golden TSV tests.
 import numpy as np
 
 from .engine_np import ClassifierNP, ClassifierResult, BWTHit
-from .finalize import finalize_units
+from .finalize import finalize_units, finalize_flat
 from ..fm.device import DeviceFM
 from ..utils import COMP_TABLE
 
@@ -105,80 +105,99 @@ class ClassifierJax(ClassifierNP):
         if self.protein:
             return self._query_batch_protein(queries)
 
-        # 1. vectorized strand-lane encoding: r1 lanes then (optionally) r2 lanes
+        Q = len(queries)
+        # 1. strand lanes: [r1 fwd, r1 rc] per query, then [r2 fwd, r2 rc] for
+        # paired queries, all in ONE chain-search batch
         raws1 = [q[0] for q in queries]
-        has_r2 = [q[1] is not None for q in queries]
         raws2 = [q[1] for q in queries if q[1] is not None]
-        codes1, len1 = self._encode_lanes(raws1)
-        hits1 = self._chain_search_codes(codes1, len1)
-        if raws2:
-            codes2, len2 = self._encode_lanes(raws2)
-            # match L with codes1 if different (separate batches are fine)
-            hits2 = self._chain_search_codes(codes2, len2)
-        r2_lane = {}
-        j = 0
-        for qi, hr2 in enumerate(has_r2):
-            if hr2:
-                r2_lane[qi] = j
-                j += 1
+        has_r2 = np.array([q[1] is not None for q in queries])
+        codes, lengths = self._encode_lanes(raws1 + raws2)
+        hsp, hep, hlv, hoff, nh = self._chain_search_codes(codes, lengths)
+        H = hsp.shape[1]
 
-        def lane_hits(h, lane):
-            sp, ep, hl, off, nh = h
-            n = int(nh[lane])
-            return [(int(sp[lane, m]), int(ep[lane, m]), int(hl[lane, m]),
-                     int(off[lane, m])) for m in range(n)]
+        r2_lane0 = np.full(Q, -1, np.int64)  # lane index of r2-fwd per query
+        r2_lane0[has_r2] = 2 * Q + 2 * np.arange(int(has_r2.sum()))
 
-        # 2. route units: adjustment candidates -> exact scalar path
-        results = [None] * len(queries)
-        fast_units = []
-        fast_qidx = []
-        for qi, (r1, r2) in enumerate(queries):
-            f1 = lane_hits(hits1, 2 * qi)
-            rc1 = lane_hits(hits1, 2 * qi + 1)
-            if r2 is not None:
-                lj = r2_lane[qi]
-                f2 = lane_hits(hits2, 2 * lj)
-                rc2 = lane_hits(hits2, 2 * lj + 1)
-            else:
-                f2 = rc2 = None
-            needs_adjust = (len(f1) > 0 and len(rc1) > 0) or \
-                (f2 is not None and len(f2) > 0 and len(rc2) > 0)
-            if needs_adjust:
-                self.stats["slow_units"] += 1
-                results[qi] = self._query_exact_unit(
-                    r1, r2, codes1[2 * qi], codes1[2 * qi + 1],
-                    None if r2 is None else codes2[2 * r2_lane[qi]],
-                    None if r2 is None else codes2[2 * r2_lane[qi] + 1],
-                    f1, rc1, f2, rc2)
-                continue
-            self.stats["fast_units"] += 1
-            # strand selection without adjustment (Classifier.hpp:542-562)
-            s_plus = [h for h in f1] + ([h for h in rc2] if rc2 else [])
-            s_minus = [h for h in rc1] + ([h for h in f2] if f2 else [])
-            sc_plus = sum(self.hit_score(h[2]) for h in s_plus)
-            sc_minus = sum(self.hit_score(h[2]) for h in s_minus)
-            if sc_plus > sc_minus:
-                chosen = [(h, 1) for h in s_plus]
-            elif sc_minus > sc_plus:
-                chosen = [(h, -1) for h in s_minus]
-            else:
-                chosen = [(h, 1) for h in s_plus] + [(h, -1) for h in s_minus]
-            hits = dict(
-                sp=np.array([h[0] for h, s in chosen], np.int64),
-                ep=np.array([h[1] for h, s in chosen], np.int64),
-                l=np.array([h[2] for h, s in chosen], np.int64),
-                off=np.array([h[3] for h, s in chosen], np.int64),
-                strand=np.array([s for h, s in chosen], np.int64),
-            )
-            ql = len(r1) + (len(r2) if r2 is not None else 0)
-            fast_units.append(dict(hits=hits, query_length=ql))
-            fast_qidx.append(qi)
+        # 2. vectorized strand scores per lane
+        mask = np.arange(H)[None, :] < nh[:, None]
+        mhl = self.param.min_hit_len
+        adjv = self.score_adjust
+        lane_score = np.where(mask & (hlv >= mhl),
+                              (hlv.astype(np.int64) - adjv) ** 2, 0).sum(axis=1)
 
-        # 3. vectorized finalize for the fast units
-        if fast_units:
-            fast_results = finalize_units(self, fast_units, self._resolve_batch_rows)
-            for qi, res in zip(fast_qidx, fast_results):
-                results[qi] = res
+        lane_f1 = 2 * np.arange(Q)
+        lane_r1 = lane_f1 + 1
+        lane_f2 = r2_lane0
+        lane_r2 = np.where(r2_lane0 >= 0, r2_lane0 + 1, -1)
+
+        def safe(arr, lanes):
+            return np.where(lanes >= 0, arr[np.maximum(lanes, 0)], 0)
+
+        sc_plus = lane_score[lane_f1] + safe(lane_score, lane_r2)
+        sc_minus = lane_score[lane_r1] + safe(lane_score, lane_f2)
+
+        needs_adjust = (nh[lane_f1] > 0) & (nh[lane_r1] > 0)
+        needs_adjust |= np.where(has_r2,
+                                 (safe(nh, lane_f2) > 0) & (safe(nh, lane_r2) > 0),
+                                 False)
+
+        # 3. per-unit lane sequence [Q, 4]: plus lanes (fwd r1, rc r2) then
+        # minus lanes (rc r1, fwd r2); both on tie (Classifier.hpp:542-562)
+        take_plus = sc_plus >= sc_minus
+        take_minus = sc_minus >= sc_plus
+        seq_lane = np.full((Q, 4), -1, np.int64)
+        seq_lane[:, 0] = np.where(take_plus, lane_f1, -1)
+        seq_lane[:, 1] = np.where(take_plus, lane_r2, -1)
+        seq_lane[:, 2] = np.where(take_minus, lane_r1, -1)
+        seq_lane[:, 3] = np.where(take_minus, lane_f2, -1)
+        seq_lane[needs_adjust] = -1  # adjustment candidates -> exact path
+        seq_strand = np.broadcast_to(np.array([1, 1, -1, -1]), (Q, 4))
+
+        flat_lane = seq_lane.reshape(-1)
+        valid_slot = flat_lane >= 0
+        slot_unit = np.repeat(np.arange(Q), 4)[valid_slot]
+        slot_lane = flat_lane[valid_slot]
+        slot_strand = seq_strand.reshape(-1)[valid_slot]
+
+        counts = nh[slot_lane]
+        hit_slot = np.repeat(np.arange(len(slot_lane)), counts)
+        pos = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts)
+        lanes_r = slot_lane[hit_slot]
+        flat = dict(
+            uid=slot_unit[hit_slot],
+            sp=hsp[lanes_r, pos].astype(np.int64),
+            ep=hep[lanes_r, pos].astype(np.int64),
+            l=hlv[lanes_r, pos].astype(np.int64),
+            off=hoff[lanes_r, pos].astype(np.int64),
+            strand=slot_strand[hit_slot].astype(np.int64),
+        )
+        qlens = [len(r1) + (len(r2) if r2 is not None else 0)
+                 for r1, r2 in queries]
+        results = finalize_flat(self, Q, flat, qlens, self._resolve_batch_rows)
+
+        # 4. exact scalar path for the rare adjustment candidates
+        adj_idx = np.flatnonzero(needs_adjust)
+        self.stats["fast_units"] += int(Q - len(adj_idx))
+        self.stats["slow_units"] += int(len(adj_idx))
+        for qi in adj_idx:
+            r1, r2 = queries[qi]
+
+            def lane_hits(lane):
+                n = int(nh[lane])
+                return [(int(hsp[lane, m]), int(hep[lane, m]),
+                         int(hlv[lane, m]), int(hoff[lane, m]))
+                        for m in range(n)]
+
+            f1 = lane_hits(lane_f1[qi])
+            rc1 = lane_hits(lane_r1[qi])
+            f2 = lane_hits(lane_f2[qi]) if r2 is not None else None
+            rc2 = lane_hits(lane_r2[qi]) if r2 is not None else None
+            results[qi] = self._query_exact_unit(
+                r1, r2, codes[lane_f1[qi]], codes[lane_r1[qi]],
+                None if r2 is None else codes[lane_f2[qi]],
+                None if r2 is None else codes[lane_r2[qi]],
+                f1, rc1, f2, rc2)
         return results
 
     def _query_batch_protein(self, queries):

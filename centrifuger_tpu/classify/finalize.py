@@ -42,14 +42,7 @@ def finalize_units(cl, units, resolve_fn):
        resolve_fn: rows(int64 array) -> seqids (batched device resolver)
     Returns list of ClassifierResult.
     """
-    param = cl.param
-    mhl = param.min_hit_len
-    adj = cl.score_adjust
-    max_entries = param.max_result * param.max_result_per_hit_factor
-    no_cap = param.max_result_per_hit_factor <= 0 or param.max_result <= 0
-
     Q = len(units)
-    # ---- flatten hits ----
     uid = []
     sp = []
     ep = []
@@ -65,17 +58,38 @@ def finalize_units(cl, units, resolve_fn):
         hl.append(h["l"])
         off.append(h["off"])
         strand.append(h["strand"])
-    uid = np.concatenate(uid) if uid else np.zeros(0, np.int64)
-    sp = np.concatenate(sp).astype(np.int64) if len(uid) else np.zeros(0, np.int64)
-    ep = np.concatenate(ep).astype(np.int64) if len(uid) else np.zeros(0, np.int64)
-    hl = np.concatenate(hl).astype(np.int64) if len(uid) else np.zeros(0, np.int64)
-    off = np.concatenate(off).astype(np.int64) if len(uid) else np.zeros(0, np.int64)
-    strand = np.concatenate(strand).astype(np.int64) if len(uid) else np.zeros(0, np.int64)
+    flat = dict(
+        uid=np.concatenate(uid) if uid else np.zeros(0, np.int64),
+        sp=np.concatenate(sp).astype(np.int64) if uid else np.zeros(0, np.int64),
+        ep=np.concatenate(ep).astype(np.int64) if uid else np.zeros(0, np.int64),
+        l=np.concatenate(hl).astype(np.int64) if uid else np.zeros(0, np.int64),
+        off=np.concatenate(off).astype(np.int64) if uid else np.zeros(0, np.int64),
+        strand=np.concatenate(strand).astype(np.int64) if uid else np.zeros(0, np.int64),
+    )
+    qlens = [u["query_length"] for u in units]
+    return finalize_flat(cl, Q, flat, qlens, resolve_fn)
+
+
+def finalize_flat(cl, Q, flat, query_lengths, resolve_fn):
+    """Core vectorized finalizer over pre-flattened hit arrays sorted by unit
+    (and list order within unit)."""
+    param = cl.param
+    mhl = param.min_hit_len
+    adj = cl.score_adjust
+    max_entries = param.max_result * param.max_result_per_hit_factor
+    no_cap = param.max_result_per_hit_factor <= 0 or param.max_result <= 0
+
+    uid = flat["uid"]
+    sp = flat["sp"]
+    ep = flat["ep"]
+    hl = flat["l"]
+    off = flat["off"]
+    strand = flat["strand"]
     NH = len(uid)
 
     results = [ClassifierResult() for _ in range(Q)]
-    for qi, u in enumerate(units):
-        results[qi].query_length = u["query_length"]
+    for qi in range(Q):
+        results[qi].query_length = query_lengths[qi]
     if NH == 0:
         return results
 
