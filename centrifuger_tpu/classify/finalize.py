@@ -189,27 +189,25 @@ def finalize_flat(cl, Q, flat, query_lengths, resolve_fn):
     rec_sid = g_sid[r_idx]
 
     # ---- best / second per unit (iteration order: k asc, seqid asc) ----
-    # records are sorted by (uid, k, sid) already
+    # records are sorted by (uid, k, sid) already; vectorized segment
+    # reductions (first-max hitlen, second-largest with multiplicity)
     out_best = np.zeros(Q, dtype=np.int64)
     out_second = np.zeros(Q, dtype=np.int64)
     out_bestlen = np.zeros(Q, dtype=np.int64)
     R = len(rec_uid)
     useg = np.flatnonzero(_segment_starts([rec_uid]))
-    useg_end = np.append(useg[1:], R)
-    # per-unit max / second-largest(with multiplicity) / first-max hitlen
-    for t, s0 in enumerate(useg):
-        e0 = useg_end[t]
-        u = rec_uid[s0]
-        seg = rec_score[s0:e0]
-        bi = int(np.argmax(seg))
-        b = int(seg[bi])
-        out_best[u] = b
-        out_bestlen[u] = int(rec_hitlen[s0 + bi])
-        if e0 - s0 > 1:
-            seg2 = seg.copy()
-            seg2[bi] = -1
-            out_second[u] = int(seg2.max())
-        out_second[u] = max(out_second[u], 0)
+    if R:
+        seg_best = np.maximum.reduceat(rec_score, useg)
+        seg_units = rec_uid[useg]
+        out_best[seg_units] = seg_best
+        is_max = rec_score == out_best[rec_uid]
+        ridx = np.arange(R)
+        first_max = np.minimum.reduceat(np.where(is_max, ridx, R), useg)
+        out_bestlen[seg_units] = rec_hitlen[first_max]
+        n_max = np.add.reduceat(is_max.astype(np.int64), useg)
+        rest_max = np.maximum.reduceat(np.where(is_max, -1, rec_score), useg)
+        out_second[seg_units] = np.maximum(
+            np.where(n_max >= 2, seg_best, rest_max), 0)
 
     # ---- best seqids per unit, in reference iteration order (k asc, sid asc),
     # deduped by seqid keeping the first occurrence (Classifier.hpp:724-738) ----
