@@ -23,7 +23,6 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
 
-CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 REFBUILD = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".refbuild")
 
 DB_NT = int(os.environ.get("CFR_BENCH_DB_NT", 5_000_000))
@@ -32,6 +31,10 @@ READ_LEN = int(os.environ.get("CFR_BENCH_READ_LEN", 100))
 BATCH_READS = int(os.environ.get("CFR_BENCH_BATCH", 8192))
 N_GENOMES = 20
 
+# cache keyed by workload config so different sizes never collide
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+                     "db%d_r%d_l%d" % (DB_NT, N_READS, READ_LEN))
+
 
 def log(msg):
     sys.stderr.write("[bench] %s\n" % msg)
@@ -39,7 +42,7 @@ def log(msg):
 
 def ensure_fixture():
     os.makedirs(CACHE, exist_ok=True)
-    done = os.path.join(CACHE, "fixture.done.%d.%d" % (DB_NT, N_READS))
+    done = os.path.join(CACHE, "fixture.done")
     if os.path.exists(done):
         return
     log("generating %d nt DB + %d reads" % (DB_NT, N_READS))
