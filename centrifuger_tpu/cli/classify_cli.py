@@ -228,14 +228,33 @@ def main(argv=None):
                     umi = src.seq
             yield r1, r2, barcode, umi
 
-    batch = []
-    for unit in formatted_units():
-        batch.append(unit)
-        if len(batch) >= batch_size:
-            _process_batch(batch, classifier, writer, merger, has_mate)
-            batch = []
-    if batch:
+    # pipelined input: a reader thread parses/format the next batch while the
+    # device classifies the current one (role of the reference's input thread,
+    # CentrifugerClass.cpp:555-564, without the thread-count gate)
+    import queue as _queue
+    import threading
+
+    batch_q = _queue.Queue(maxsize=2)
+
+    def producer():
+        batch = []
+        for unit in formatted_units():
+            batch.append(unit)
+            if len(batch) >= batch_size:
+                batch_q.put(batch)
+                batch = []
+        if batch:
+            batch_q.put(batch)
+        batch_q.put(None)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        batch = batch_q.get()
+        if batch is None:
+            break
         _process_batch(batch, classifier, writer, merger, has_mate)
+    t.join()
 
     writer.finalize()
     log("Centrifuger(tpu) finishes.")
