@@ -17,6 +17,7 @@ Layout notes (TPU-first):
     shard case); the int64 variant is selected at upload time.
 """
 
+import copy
 from functools import partial
 
 import numpy as np
@@ -194,6 +195,55 @@ class DeviceFM:
             self.end_marker_sa = jnp.asarray(fm.end_marker_sa.astype(idtype))
         else:
             self.end_marker_sa = None
+
+        # All index arrays as one pytree, passed as ARGUMENTS to the jitted
+        # kernels below.  Closing over them instead would embed them as HLO
+        # constants: compile time blows up with index size and the persistent
+        # compilation cache misses whenever the index contents change.
+        self.arrs = {}
+        for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
+                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa"):
+            v = getattr(self, k, None)
+            if v is not None:
+                self.arrs[k] = v
+        for sub in ("ind", "lit", "run"):
+            so = getattr(self, sub, None)
+            if so is None:
+                continue
+            for f in ("words", "occ", "cum"):
+                v = getattr(so, f, None)
+                if v is not None:
+                    self.arrs["%s_%s" % (sub, f)] = v
+        self._jit_cache = {}
+
+    def _bind(self, arrs):
+        """Shallow copy of self with array attributes replaced by the (traced)
+        values in `arrs` — lets the trace-time methods below stay unchanged
+        while the arrays flow in as jit arguments."""
+        obj = copy.copy(self)
+        for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
+                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa"):
+            if k in arrs:
+                setattr(obj, k, arrs[k])
+        for sub in ("ind", "lit", "run"):
+            so = getattr(self, sub, None)
+            if so is None:
+                continue
+            s2 = copy.copy(so)
+            for f in ("words", "occ", "cum"):
+                key = "%s_%s" % (sub, f)
+                if key in arrs:
+                    setattr(s2, f, arrs[key])
+            setattr(obj, sub, s2)
+        return obj
+
+    def _jitted(self, key, traced_fn):
+        """Cache a jitted wrapper that rebinds self's arrays from arguments."""
+        if key not in self._jit_cache:
+            def wrapper(arrs, *args):
+                return traced_fn(self._bind(arrs), *args)
+            self._jit_cache[key] = jax.jit(wrapper)
+        return self._jit_cache[key]
 
     # ------------------------------------------------------------- primitives
 
@@ -452,8 +502,13 @@ class DeviceFM:
 
     # --------------------------------------------------------------- kernels
 
-    @partial(jax.jit, static_argnums=0)
     def resolve_rows(self, rows, valid):
+        """Jitted batched LF-walk (arrays passed as arguments)."""
+        f = self._jitted("resolve",
+                         lambda s, r, v: s._resolve_rows_impl(r, v))
+        return f(self.arrs, rows, valid)
+
+    def _resolve_rows_impl(self, rows, valid):
         """Batched LF-walk to a stored sample (BackwardToSampledSA).
         rows: [M] int; valid: [M] bool mask for padding lanes."""
         def cond(state):
@@ -515,11 +570,12 @@ class DeviceFM:
         Implements GetHitsFromRead x BackwardSearch (Classifier.hpp:262-281,
         FMIndex.hpp:487-510) as a lockstep while_loop.
         """
-        return self._chain_search_jit(codes, lengths,
-                                      int(min_hit_len), int(max_hits))
+        mhl, H = int(min_hit_len), int(max_hits)
+        f = self._jitted(("chain", mhl, H),
+                         lambda s, c, l: s._chain_search_impl(c, l, mhl, H))
+        return f(self.arrs, codes, lengths)
 
-    @partial(jax.jit, static_argnums=(0, 3, 4))
-    def _chain_search_jit(self, codes, lengths, mhl, H):
+    def _chain_search_impl(self, codes, lengths, mhl, H):
         B, L = codes.shape
         it = self.idtype
         pw = self.pw
@@ -641,8 +697,13 @@ class DeviceFM:
         return dict(sp=h[:, :, 0], ep=h[:, :, 1], l=h[:, :, 2], off=h[:, :, 3],
                     nhits=st["nhits"])
 
-    @partial(jax.jit, static_argnums=0)
     def prefix_search(self, codes, ms):
+        """Jitted longest-suffix backward search (arrays as arguments)."""
+        f = self._jitted("prefix",
+                         lambda s, c, m: s._prefix_search_impl(c, m))
+        return f(self.arrs, codes, ms)
+
+    def _prefix_search_impl(self, codes, ms):
         """Single longest-suffix backward search of codes[:, :m] per lane
         (FMIndex::BackwardSearch) — used by hit-boundary adjustment.
         Returns (l, sp, ep) per lane."""

@@ -39,7 +39,7 @@ def classify_dp_step(dev_fm, mesh, min_hit_len, max_hits, axis="dp"):
     vec_sharding = NamedSharding(mesh, P(axis))
 
     def step(codes, lengths):
-        out = dev_fm._chain_search_jit(codes, lengths, min_hit_len, max_hits)
+        out = dev_fm._chain_search_impl(codes, lengths, min_hit_len, max_hits)
         has_hit = (jax.numpy.arange(max_hits)[None, :] < out["nhits"][:, None])
         rows = jax.numpy.where(has_hit, out["sp"], 0)
         seqids = _resolve_matrix(dev_fm, rows, has_hit)

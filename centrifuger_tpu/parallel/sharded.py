@@ -87,15 +87,15 @@ class ShardedChainSearch:
 
         from jax import shard_map
 
-        def per_chip(table_local, codes_l, lengths_l):
-            sharded = _ShardedFMView(dev, outer_self, table_local)
-            return sharded._chain_search_jit.__wrapped__(
-                sharded, codes_l, lengths_l, mhl, H)
+        def per_chip(table_local, arrs, codes_l, lengths_l):
+            sharded = _ShardedFMView(dev._bind(arrs), outer_self, table_local)
+            return sharded._chain_search_impl(codes_l, lengths_l, mhl, H)
 
+        arr_specs = jax.tree.map(lambda _: P(), dev.arrs)
         fn = shard_map(per_chip, mesh=mesh,
-                       in_specs=(P(axis, None), P(axis, None), P(axis)),
+                       in_specs=(P(axis, None), arr_specs, P(axis, None), P(axis)),
                        out_specs=P(axis), check_vma=False)
-        return jax.jit(fn)(table, codes, lengths)
+        return jax.jit(fn)(table, dev.arrs, codes, lengths)
 
 
 def _a2a(x, axis):
