@@ -249,3 +249,104 @@ def test_sequence_hybrid():
     rand = RNG.integers(0, 4, size=3000)
     codes = np.concatenate([runs, rand])
     _check_sequence(SequenceHybrid(codes, 4, block=64), codes, 4)
+
+
+# --------------------------------------------- hashing / mapper / permutation
+
+def test_universal_hash_range_and_determinism():
+    from centrifuger_tpu.succinct.hashing import UniversalHash
+    h = UniversalHash(97, seed=3)
+    keys = RNG.integers(0, 1 << 63, size=500, dtype=np.uint64)
+    v1, v2 = h(keys), h(keys)
+    assert (v1 == v2).all()
+    assert (0 <= v1).all() and (v1 < 97).all()
+    # different seeds give different functions (overwhelmingly)
+    h2 = UniversalHash(97, seed=4)
+    assert (h2(keys) != v1).any()
+
+
+@pytest.mark.parametrize("n", [1, 2, 10, 500, 3000])
+def test_perfect_hash_is_minimal_perfect(n):
+    from centrifuger_tpu.succinct.hashing import PerfectHash
+    keys = np.unique(RNG.integers(0, 1 << 62, size=2 * n, dtype=np.uint64))[:n]
+    assert len(keys) == n
+    mph = PerfectHash(keys)
+    vals = mph.lookup(keys)
+    # minimal + perfect: a bijection onto [0, n)
+    assert sorted(vals.tolist()) == list(range(n))
+
+
+def test_compact_mapper_bimap():
+    from centrifuger_tpu.succinct.mapper import CompactMapper
+    ids = np.unique(RNG.integers(0, 100000, size=300))
+    m = CompactMapper(ids)
+    dense = m.to_compact(ids)
+    assert (dense == np.arange(len(ids))).all()
+    assert (m.to_orig(dense) == ids).all()
+    non = np.setdiff1d(np.arange(1000), ids)[:50]
+    assert m.contains(ids[:50]).all()
+    assert not m.contains(non).any()
+
+
+def test_partial_sum_search_brute_force():
+    from centrifuger_tpu.succinct.mapper import PartialSum
+    lengths = RNG.integers(0, 50, size=200).astype(np.int64)
+    lengths[lengths < 5] = 0  # plenty of empty segments
+    if lengths.sum() == 0:
+        lengths[0] = 7
+    ps = PartialSum(lengths)
+    cums = np.cumsum(lengths)
+    xs = RNG.integers(0, int(cums[-1]), size=500)
+    want = np.searchsorted(cums, xs, side="right")
+    assert (ps.search(xs) == want).all()
+    starts = np.concatenate([[0], cums[:-1]])
+    idx = np.flatnonzero(lengths > 0)  # accumulated_sum defined per real start
+    assert (ps.accumulated_sum(idx) == starts[idx]).all()
+
+
+@pytest.mark.parametrize("t", [2, 8, 64])
+def test_permutation_inverse(t):
+    from centrifuger_tpu.succinct.permutation import Permutation
+    n = 500
+    pi = RNG.permutation(n)
+    p = Permutation(pi, t=t)
+    assert (p.next(np.arange(n)) == pi).all()
+    inv = np.empty(n, dtype=np.int64)
+    inv[pi] = np.arange(n)
+    for i in RNG.integers(0, n, size=60):
+        assert p.prev(int(i)) == inv[i]
+
+
+def test_sequence_permutation_brute_force():
+    from centrifuger_tpu.succinct.permutation import SequencePermutation
+    sigma, n = 23, 1500
+    codes = RNG.integers(0, sigma, size=n)
+    seq = SequencePermutation(codes, sigma, block=128)
+    for i in RNG.integers(0, n, size=40):
+        assert seq.access(int(i)) == codes[i]
+    for _ in range(40):
+        c = int(RNG.integers(0, sigma))
+        i = int(RNG.integers(0, n))
+        assert seq.rank(c, i) == int((codes[:i + 1] == c).sum())
+    for c in range(0, sigma, 5):
+        total = int((codes == c).sum())
+        if total == 0:
+            continue
+        k = int(RNG.integers(1, total + 1))
+        pos = np.flatnonzero(codes == c)[k - 1]
+        assert seq.select(c, k) == pos
+
+
+def test_inverted_index_brute_force():
+    from centrifuger_tpu.succinct.permutation import InvertedIndex
+    sigma, n = 9, 2000
+    codes = RNG.integers(0, sigma, size=n)
+    inv = InvertedIndex(codes, sigma)
+    for c in range(sigma):
+        pos = np.flatnonzero(codes == c)
+        assert inv.count(c) == len(pos)
+        ks = np.arange(1, len(pos) + 1)
+        assert (inv.posting(c, ks) == pos).all()
+        xs = RNG.integers(0, n, size=30)
+        want = np.searchsorted(pos, xs, side="right")
+        assert (inv.count_upto(c, xs) == want).all()
