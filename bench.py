@@ -179,12 +179,13 @@ def measure_ours(prefix):
         cl.query_batch(queries[i:i + BATCH_READS])
     log("warmup(+compile): %.1fs" % (time.time() - t0))
 
-    # timed end-to-end pass (classification + result objects, excl. TSV I/O)
+    # timed end-to-end pass (classification + result objects, excl. TSV I/O);
+    # software-pipelined: device chain-search overlaps host finalize
     t0 = time.time()
     nclass = 0
-    for i in range(0, len(queries), BATCH_READS):
-        batch = queries[i:i + BATCH_READS]
-        res = cl.query_batch(batch)
+    batches = (queries[i:i + BATCH_READS]
+               for i in range(0, len(queries), BATCH_READS))
+    for res in cl.query_pipelined(batches):
         nclass += sum(1 for r in res if r.tax_ids)
     dt = time.time() - t0
     rps = len(queries) / dt

@@ -17,7 +17,7 @@ binary) — enforced by the golden TSV tests.
 import numpy as np
 
 from .engine_np import ClassifierNP, ClassifierResult, BWTHit
-from .finalize import finalize_units, finalize_flat
+from .finalize import finalize_units, finalize_flat, finalize_prepare
 from ..fm.device import DeviceFM
 from ..utils import COMP_TABLE
 
@@ -72,9 +72,8 @@ class ClassifierJax(ClassifierNP):
         lengths = np.repeat(lens, 2).astype(np.int32)
         return codes, lengths
 
-    def _chain_search_codes(self, codes, lengths):
-        """Run device chain search on a [B, L] batch; returns per-lane numpy
-        hit arrays (sp, ep, l, off, nhits)."""
+    def _chain_search_dispatch(self, codes, lengths):
+        """Dispatch device chain search (async); returns (out handles, B0)."""
         B0, L = codes.shape
         mhl = self.param.min_hit_len
         B = _bucket_size(max(B0, 1))
@@ -83,36 +82,92 @@ class ClassifierJax(ClassifierNP):
             codes = np.concatenate(
                 [codes, np.full((B - B0, L), 255, np.uint8)])
             lengths = np.concatenate([lengths, np.zeros(B - B0, np.int32)])
-        out = self.dev.chain_search(codes, lengths, mhl, H)
+        return self.dev.chain_search(codes, lengths, mhl, H), B0
+
+    def _chain_search_codes(self, codes, lengths):
+        """Run device chain search on a [B, L] batch; returns per-lane numpy
+        hit arrays (sp, ep, l, off, nhits)."""
+        out, B0 = self._chain_search_dispatch(codes, lengths)
         return (np.asarray(out["sp"])[:B0], np.asarray(out["ep"])[:B0],
                 np.asarray(out["l"])[:B0], np.asarray(out["off"])[:B0],
                 np.asarray(out["nhits"])[:B0])
 
-    def _resolve_batch_rows(self, rows):
-        """One device LF-walk for a flat row array."""
+    def _resolve_dispatch(self, rows):
+        """Dispatch the device LF-walk for a flat row array (async);
+        returns a handle, or None for an empty row set."""
         if len(rows) == 0:
-            return np.zeros(0, np.int64)
+            return None
         M = _bucket_size(len(rows))
         pad = np.zeros(M, np.int64)
         pad[:len(rows)] = rows
         valid = np.zeros(M, bool)
         valid[:len(rows)] = True
-        return np.asarray(self.dev.resolve_rows(pad, valid))[:len(rows)].astype(np.int64)
+        return self.dev.resolve_rows(pad, valid)
+
+    def _resolve_batch_rows(self, rows):
+        """One device LF-walk for a flat row array (blocking)."""
+        h = self._resolve_dispatch(rows)
+        if h is None:
+            return np.zeros(0, np.int64)
+        return np.asarray(h)[:len(rows)].astype(np.int64)
 
     # ------------------------------------------------------------ main entry
 
     def query_batch(self, queries):
         if self.protein:
             return self._query_batch_protein(queries)
+        return self._stage_finalize(self._stage_prep(self._stage_dispatch(queries)))
 
+    def query_pipelined(self, batches):
+        """Software-pipelined batch classification (generator).
+
+        Keeps one chain-search batch in flight on the device while the host
+        runs strand selection / finalize prep for the previous one — the
+        TPU-side replacement for the reference's 3-stage pthread pipeline
+        (CentrifugerClass.cpp:555-564, 761-887).  Yields one result list per
+        input batch, bit-identical to sequential query_batch calls."""
+        from collections import deque
+        qa, qb = deque(), deque()
+        for batch in batches:
+            if self.protein:
+                yield self._query_batch_protein(batch)
+                continue
+            qa.append(self._stage_dispatch(batch))
+            if len(qa) >= 2:
+                qb.append(self._stage_prep(qa.popleft()))
+            if len(qb) >= 2:
+                yield self._stage_finalize(qb.popleft())
+        while qa:
+            qb.append(self._stage_prep(qa.popleft()))
+            if len(qb) >= 2:
+                yield self._stage_finalize(qb.popleft())
+        while qb:
+            yield self._stage_finalize(qb.popleft())
+
+    def _stage_dispatch(self, queries):
+        """Pipeline stage A: encode strand lanes + async chain-search dispatch."""
         Q = len(queries)
-        # 1. strand lanes: [r1 fwd, r1 rc] per query, then [r2 fwd, r2 rc] for
+        # strand lanes: [r1 fwd, r1 rc] per query, then [r2 fwd, r2 rc] for
         # paired queries, all in ONE chain-search batch
         raws1 = [q[0] for q in queries]
         raws2 = [q[1] for q in queries if q[1] is not None]
         has_r2 = np.array([q[1] is not None for q in queries])
         codes, lengths = self._encode_lanes(raws1 + raws2)
-        hsp, hep, hlv, hoff, nh = self._chain_search_codes(codes, lengths)
+        out, B0 = self._chain_search_dispatch(codes, lengths)
+        return dict(queries=queries, Q=Q, has_r2=has_r2, codes=codes,
+                    out=out, B0=B0)
+
+    def _stage_prep(self, ctx):
+        """Pipeline stage B: sync chain outputs, strand selection, finalize
+        prep, async SA-resolve dispatch."""
+        queries, Q, has_r2 = ctx["queries"], ctx["Q"], ctx["has_r2"]
+        codes = ctx["codes"]
+        out, B0 = ctx["out"], ctx["B0"]
+        hsp = np.asarray(out["sp"])[:B0]
+        hep = np.asarray(out["ep"])[:B0]
+        hlv = np.asarray(out["l"])[:B0]
+        hoff = np.asarray(out["off"])[:B0]
+        nh = np.asarray(out["nhits"])[:B0]
         H = hsp.shape[1]
 
         r2_lane0 = np.full(Q, -1, np.int64)  # lane index of r2-fwd per query
@@ -174,7 +229,30 @@ class ClassifierJax(ClassifierNP):
         )
         qlens = [len(r1) + (len(r2) if r2 is not None else 0)
                  for r1, r2 in queries]
-        results = finalize_flat(self, Q, flat, qlens, self._resolve_batch_rows)
+        rows, cont = finalize_prepare(self, Q, flat, qlens)
+        return dict(queries=queries, Q=Q, cont=cont, rows_n=len(rows),
+                    handle=self._resolve_dispatch(rows),
+                    needs_adjust=needs_adjust, codes=codes, nh=nh,
+                    hsp=hsp, hep=hep, hlv=hlv, hoff=hoff,
+                    lane_f1=lane_f1, lane_r1=lane_r1,
+                    lane_f2=lane_f2, lane_r2=lane_r2)
+
+    def _stage_finalize(self, ctx):
+        """Pipeline stage C: sync resolved seqids, finish per-read records,
+        exact scalar path for the rare adjustment candidates."""
+        queries, Q = ctx["queries"], ctx["Q"]
+        handle = ctx["handle"]
+        if handle is None:
+            seqids = np.zeros(0, np.int64)
+        else:
+            seqids = np.asarray(handle)[:ctx["rows_n"]].astype(np.int64)
+        results = ctx["cont"](seqids)
+        needs_adjust = ctx["needs_adjust"]
+        codes = ctx["codes"]
+        nh, hsp, hep, hlv, hoff = (ctx["nh"], ctx["hsp"], ctx["hep"],
+                                   ctx["hlv"], ctx["hoff"])
+        lane_f1, lane_r1, lane_f2, lane_r2 = (ctx["lane_f1"], ctx["lane_r1"],
+                                              ctx["lane_f2"], ctx["lane_r2"])
 
         # 4. exact scalar path for the rare adjustment candidates
         adj_idx = np.flatnonzero(needs_adjust)

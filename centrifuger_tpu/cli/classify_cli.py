@@ -249,11 +249,27 @@ def main(argv=None):
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        batch = batch_q.get()
-        if batch is None:
-            break
-        _process_batch(batch, classifier, writer, merger, has_mate)
+
+    def batches():
+        while True:
+            b = batch_q.get()
+            if b is None:
+                return
+            yield b
+
+    # software-pipelined classification: device chain-search for batch i+1
+    # overlaps host finalize of batch i (plus the reader thread above);
+    # this is the 3-stage pipeline of the reference (input/classify/output,
+    # CentrifugerClass.cpp:761-887) in async-dispatch form
+    if hasattr(classifier, "query_pipelined"):
+        pending = []
+        for results in classifier.query_pipelined(
+                _batch_queries(b, merger) for b in _tee_batches(pending, batches())):
+            batch = pending.pop(0)
+            _write_batch(batch, results, writer)
+    else:
+        for batch in batches():
+            _process_batch(batch, classifier, writer, merger, has_mate)
     t.join()
 
     writer.finalize()
@@ -261,7 +277,15 @@ def main(argv=None):
     return 0
 
 
-def _process_batch(batch, classifier, writer, merger, has_mate):
+def _tee_batches(pending, it):
+    """Yield batches while also appending them to `pending` so the writer can
+    pair each finished result list with its source batch (FIFO)."""
+    for b in it:
+        pending.append(b)
+        yield b
+
+
+def _batch_queries(batch, merger):
     queries = []
     for r1, r2, barcode, umi in batch:
         raw1 = np.frombuffer(r1.seq.encode(), dtype=np.uint8)
@@ -272,12 +296,21 @@ def _process_batch(batch, classifier, writer, merger, has_mate):
                 raw1 = np.frombuffer(merged.encode(), dtype=np.uint8)
                 raw2 = None
         queries.append((raw1, raw2))
-    results = classifier.query_batch(queries)
+    return queries
+
+
+def _write_batch(batch, results, writer):
     for (r1, r2, barcode, umi), res in zip(batch, results):
         writer.output(r1.id, r1.seq, r1.qual,
                       r2.seq if r2 is not None else None,
                       r2.qual if r2 is not None else None,
                       barcode, umi, res)
+
+
+def _process_batch(batch, classifier, writer, merger, has_mate):
+    queries = _batch_queries(batch, merger)
+    results = classifier.query_batch(queries)
+    _write_batch(batch, results, writer)
 
 
 if __name__ == "__main__":
