@@ -112,9 +112,8 @@ class _ShardedFMView(DeviceFM):
         self._router = router
         router.table_ref = table_local
 
-    def _plain_rank_sym(self, c, pos):
-        row = self._router._routed_rows(pos)
-        return self._plain_rank_sym_from_rows(row, c, pos)
+    def _plain_rows_fetch(self, pos):
+        return self._router._routed_rows(pos)
 
     def _loop_any(self, x):
         # global lockstep termination across shards (the routed gathers are

@@ -228,10 +228,14 @@ class CompressedBitvector:
         self.nblk = nblk
         # superblock samples: offset-bit start + cumulative rank
         sidx = np.arange(0, nblk + 1, _RRR_SAMPLE)
-        self.samp_start = starts[sidx].astype(np.int32)
+        # bit offsets exceed int32 beyond ~2.1e9 offset bits (genome scale):
+        # widen the sample dtype only when the input actually needs it
+        sdt = np.int64 if int(starts[-1]) >= (1 << 31) or self.n >= (1 << 31) \
+            else np.int32
+        self.samp_start = starts[sidx].astype(sdt)
         cum_rank = np.zeros(nblk + 1, dtype=np.int64)
         np.cumsum(classes, out=cum_rank[1:])
-        self.samp_rank = cum_rank[sidx].astype(np.int32)
+        self.samp_rank = cum_rank[sidx].astype(sdt)
         self.total_ones = int(cum_rank[-1])
 
     def _block_meta(self, blk):

@@ -121,10 +121,13 @@ class HuffmanCode:
 
 
 def elias_gamma_encode(values):
-    """Elias gamma for values >= 1 -> (uint64 words, total_bits, starts).
-    Unary length prefix then binary body (reference compactds/EliasCode.hpp)."""
+    """Elias gamma for values in [1, 2^32) -> (uint64 words, total_bits, starts).
+    Unary length prefix then binary body (reference compactds/EliasCode.hpp).
+    Bound: enc << (nbits-1) must fit one uint64 word and the decoder's unary
+    scan caps at 33 leading bits, so values must stay below 2^32."""
     values = np.asarray(values, dtype=np.uint64)
     assert (values >= 1).all()
+    assert (values < (1 << 32)).all(), "elias gamma supports values < 2^32"
     nbits = np.array([int(v).bit_length() for v in values], dtype=np.int64)
     lens = 2 * nbits - 1
     starts = np.zeros(len(values) + 1, dtype=np.int64)

@@ -72,17 +72,22 @@ class Permutation:
         return self.pi.read(np.asarray(i, dtype=np.int64)).astype(np.int64)
 
     def prev(self, i):
-        """pi^{-1}(i): walk forward along the cycle from the nearest shortcut
-        (scalar; < 2t steps)."""
-        # walk j -> pi[j] until pi[j] == i; use the shortcut at i if present
-        j = self.inv.shortcut(i)
-        if j < 0:
-            j = int(i)
+        """pi^{-1}(i) in O(t): walk forward along the cycle; the first marked
+        element passed jumps t steps back (behind i), after which at most t
+        forward steps reach the answer (reference compactds/
+        DS_InvPermutation.hpp shortcut-walk semantics)."""
+        j = int(i)
+        took_shortcut = False
         guard = 0
         while int(self.pi.read(np.array([j]))[0]) != i:
-            j = int(self.pi.read(np.array([j]))[0])
+            s = -1 if took_shortcut else self.inv.shortcut(j)
+            if s >= 0:
+                j = s
+                took_shortcut = True
+            else:
+                j = int(self.pi.read(np.array([j]))[0])
             guard += 1
-            if guard > self.n:
+            if guard > self.n + 2:
                 raise RuntimeError("not a permutation")
         return j
 
