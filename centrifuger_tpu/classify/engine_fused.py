@@ -1,0 +1,202 @@
+"""Host wrapper for the fully-fused device classification program.
+
+Per batch the host only: packs raw read bytes into a padded [U, L] uint8
+matrix (one H2D), dispatches the fused program (classify/device_engine.py),
+pulls ONE packed [Q, 5+K] int32 result array (one D2H), and materializes
+results.  Rare units flagged by the device (hit-boundary-adjustment
+candidates, row-budget overflows, more best seqids than the device returns)
+fall back to the exact host path, reusing the device-computed chains.
+
+Bit-identical to ClassifierNP / the reference binary; enforced by the golden
+TSV tests with --engine fused.
+"""
+
+import numpy as np
+
+from .engine_np import ClassifierResult
+from .engine_jax import ClassifierJax, _round_up, _next_pow2
+from .device_engine import FLAG_ADJUST, FLAG_ROW_OVERFLOW
+
+
+class ClassifierFused(ClassifierJax):
+    K_OUT = 16       # best seqids returned per read by the device
+    U_CAP = 16       # per-read SA-row budget on device
+    L_MAX = 8192     # max read length on the fused path (int32 score bound)
+
+    def __init__(self, fm, taxonomy, param, protein=False):
+        super().__init__(fm, taxonomy, param, protein=protein)
+        self.stats["fallback_units"] = 0
+
+    def _fused_ok(self):
+        return (not self.protein and self.dev.fast
+                and self.dev.plain_rows is not None
+                and self.param.max_result > 0
+                and self.param.max_result_per_hit_factor > 0)
+
+    # --------------------------------------------------------------- batching
+
+    def _pack_reads(self, queries):
+        """queries -> (reads [U, L] uint8, lengths [U] int32, nr, Q0)."""
+        Q0 = len(queries)
+        nr = 2 if any(q[1] is not None for q in queries) else 1
+        Q = max(_next_pow2(Q0), 1024)
+        U = Q * nr
+        maxlen = 1
+        for r1, r2 in queries:
+            maxlen = max(maxlen, len(r1), len(r2) if r2 is not None else 0)
+        L = _round_up(max(maxlen, 32), 64)
+        raws = []
+        for r1, r2 in queries:
+            raws.append(r1)
+            if nr == 2:
+                raws.append(r2 if r2 is not None else b"")
+        lens = np.fromiter((len(r) for r in raws), np.int32, len(raws))
+        flat = np.concatenate([np.frombuffer(bytes(r), np.uint8) if not
+                               isinstance(r, np.ndarray) else r
+                               for r in raws]) if len(raws) else \
+            np.zeros(0, np.uint8)
+        reads = np.zeros((U, L), np.uint8)
+        starts = np.zeros(len(raws) + 1, np.int64)
+        np.cumsum(lens, out=starts[1:])
+        ridx = np.repeat(np.arange(len(raws)), lens)
+        cidx = np.arange(len(flat)) - starts[ridx]
+        reads[ridx, cidx] = flat
+        lengths = np.zeros(U, np.int32)
+        lengths[:len(raws)] = lens
+        return reads, lengths, nr, Q0, Q, L
+
+    def _dispatch_fused(self, queries):
+        reads, lengths, nr, Q0, Q, L = self._pack_reads(queries)
+        mhl = self.param.min_hit_len
+        H = max(L // (mhl + 1) + 1, 1)
+        out = self.dev.fused_classify(
+            reads, lengths, nr, mhl, H, self.param.max_result,
+            self.param.max_result_per_hit_factor, self.K_OUT, Q * self.U_CAP)
+        return dict(queries=queries, out=out, nr=nr, Q0=Q0)
+
+    def _finish_fused(self, ctx):
+        queries, out, nr, Q0 = ctx["queries"], ctx["out"], ctx["nr"], ctx["Q0"]
+        packed = np.asarray(out["packed"])[:Q0]          # the ONE result pull
+        param = self.param
+        tax = self.tax
+        K = self.K_OUT
+        kmax = param.max_result
+
+        score = packed[:, 0]
+        second = packed[:, 1]
+        hitlen = packed[:, 2]
+        nbest = packed[:, 3]
+        flags = packed[:, 4]
+        sids = packed[:, 5:]
+
+        fallback = (flags != 0) | (nbest > K)
+        results = []
+        for qi, (r1, r2) in enumerate(queries):
+            res = ClassifierResult()
+            res.query_length = len(r1) + (len(r2) if r2 is not None else 0)
+            if fallback[qi]:
+                results.append(res)
+                continue
+            nb = int(nbest[qi])
+            res.score = int(score[qi])
+            res.secondary_score = int(second[qi])
+            res.hit_length = int(hitlen[qi])
+            if nb > 1:
+                res.secondary_score = res.score
+            if nb == 0:
+                results.append(res)
+                continue
+            ids = sids[qi, :nb]
+            if nb <= kmax:
+                for sid in ids:
+                    sid = int(sid)
+                    res.seq_names.append(tax.seq_id_to_name(sid))
+                    res.tax_ids.append(tax.orig_tax_id(tax.seq_id_to_tax_id(sid)))
+                    if param.output_expanded_result:
+                        res.expanded_strings.append("")
+            else:
+                from ..taxonomy import rank_string
+                ctids = [tax.seq_id_to_tax_id(int(sid)) for sid in ids]
+                promoted, children = tax.reduce_tax_ids(
+                    ctids, kmax, want_children=param.output_expanded_result)
+                for i, t in enumerate(promoted):
+                    res.seq_names.append(rank_string(tax.tax_rank(t)))
+                    res.tax_ids.append(tax.orig_tax_id(t))
+                    if param.output_expanded_result:
+                        if children is not None and len(children) == len(promoted):
+                            res.expanded_strings.append(",".join(
+                                str(tax.orig_tax_id(c)) for c in children[i]))
+                        else:
+                            res.expanded_strings.append("")
+            results.append(res)
+
+        # exact host path for flagged units, reusing device-computed chains
+        fb_idx = np.flatnonzero(fallback)
+        self.stats["fallback_units"] += int(len(fb_idx))
+        self.stats["fast_units"] += int(Q0 - len(fb_idx))
+        if len(fb_idx):
+            hits = np.asarray(out["hits"])
+            nh = np.asarray(out["nhits"])
+            for qi in fb_idx:
+                results[qi] = self._fallback_unit(queries[qi], qi, hits, nh, nr)
+        return results
+
+    def _fallback_unit(self, query, qi, hits, nh, nr):
+        r1, r2 = query
+        base = 2 * nr * qi
+        lane_f1, lane_r1 = base, base + 1
+        lane_f2, lane_r2 = base + 2, base + 3
+
+        def lane_hits(lane):
+            return [(int(hits[lane, m, 0]), int(hits[lane, m, 1]),
+                     int(hits[lane, m, 2]), int(hits[lane, m, 3]))
+                    for m in range(int(nh[lane]))]
+
+        c1f = self.encode[r1]
+        from ..utils import COMP_TABLE
+        c1r = self.encode[COMP_TABLE[r1][::-1]]
+        if r2 is not None and nr == 2:
+            c2f = self.encode[r2]
+            c2r = self.encode[COMP_TABLE[r2][::-1]]
+            return self._query_exact_unit(
+                r1, r2, c1f, c1r, c2f, c2r,
+                lane_hits(lane_f1), lane_hits(lane_r1),
+                lane_hits(lane_f2), lane_hits(lane_r2))
+        return self._query_exact_unit(
+            r1, None, c1f, c1r, None, None,
+            lane_hits(lane_f1), lane_hits(lane_r1), None, None)
+
+    # ------------------------------------------------------------ main entry
+
+    def query_batch(self, queries):
+        if not queries:
+            return []
+        if not self._fused_ok() or self._too_long(queries):
+            return super().query_batch(queries)
+        return self._finish_fused(self._dispatch_fused(queries))
+
+    def _too_long(self, queries):
+        for r1, r2 in queries:
+            if len(r1) > self.L_MAX or (r2 is not None and len(r2) > self.L_MAX):
+                return True
+        return False
+
+    def query_pipelined(self, batches):
+        """Two-deep software pipeline: batch i+1's upload/compute overlaps
+        batch i's result pull + host materialization."""
+        from collections import deque
+        pend = deque()
+        for batch in batches:
+            if not batch:
+                yield []
+                continue
+            if not self._fused_ok() or self._too_long(batch):
+                while pend:
+                    yield self._finish_fused(pend.popleft())
+                yield super().query_batch(batch)
+                continue
+            pend.append(self._dispatch_fused(batch))
+            if len(pend) >= 2:
+                yield self._finish_fused(pend.popleft())
+        while pend:
+            yield self._finish_fused(pend.popleft())

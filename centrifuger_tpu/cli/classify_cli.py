@@ -21,8 +21,11 @@ def make_classifier(fm, tax, param, protein, engine):
     if engine == "numpy":
         from ..classify.engine_np import ClassifierNP
         return ClassifierNP(fm, tax, param, protein=protein)
-    from ..classify.engine_jax import ClassifierJax
-    return ClassifierJax(fm, tax, param, protein=protein)
+    if engine == "jax":
+        from ..classify.engine_jax import ClassifierJax
+        return ClassifierJax(fm, tax, param, protein=protein)
+    from ..classify.engine_fused import ClassifierFused
+    return ClassifierFused(fm, tax, param, protein=protein)
 
 
 def main(argv=None):
@@ -48,7 +51,8 @@ def main(argv=None):
     ap.add_argument("--UMI", dest="umi", action="append", default=[])
     ap.add_argument("--barcode-whitelist", default=None)
     ap.add_argument("--barcode-translate", default=None)
-    ap.add_argument("--engine", choices=["numpy", "jax"], default="jax",
+    ap.add_argument("--engine", choices=["numpy", "jax", "fused"],
+                    default="fused",
                     help="compute engine (extension over the reference CLI)")
     ap.add_argument("--batch-size", type=int, default=0,
                     help="reads per device batch (0 = auto)")

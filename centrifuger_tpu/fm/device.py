@@ -744,6 +744,17 @@ class DeviceFM:
         return dict(sp=h[:, :, 0], ep=h[:, :, 1], l=h[:, :, 2], off=h[:, :, 3],
                     nhits=st["nhits"])
 
+    def fused_classify(self, reads, lengths, nr, mhl, H, max_result,
+                       hitk_factor, k_out, r_cap):
+        """One-program classification: encode + chain search + strand select +
+        SA-row expansion + LF resolve + score aggregation (see
+        classify/device_engine.py).  Returns dict of device arrays."""
+        from ..classify.device_engine import fused_classify
+        key = ("fusedcls", nr, mhl, H, max_result, hitk_factor, k_out, r_cap)
+        f = self._jitted(key, lambda s, rd, ln: fused_classify(
+            s, rd, ln, nr, mhl, H, max_result, hitk_factor, k_out, r_cap))
+        return f(self.arrs, reads, lengths)
+
     def prefix_search(self, codes, ms):
         """Jitted longest-suffix backward search (arrays as arguments)."""
         f = self._jitted("prefix",
