@@ -33,7 +33,8 @@ def log(msg):
 def build_index(genome_files, taxonomy_file, name_table, conversion_table,
                 conversion_at_file_level, output_prefix,
                 concat_same_taxid=False, ignore_uncategorized=False,
-                subset_tax=0, params=None, protein=False, checkpoint=False):
+                subset_tax=0, params=None, protein=False, checkpoint=False,
+                build_mem=0, bmax=None, dcv=None, threads=1):
     params = params or FMBuildParams()
     alphabet = PROTEIN_ALPHABET if protein else DNA_ALPHABET
     if protein:
@@ -141,30 +142,48 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
     codes = np.concatenate(chunks)
     log("Found %d sequences with total length %d bp." % (len(genome_lens), len(codes)))
 
-    # --checkpoint: persist the suffix array (the expensive stage) so an
-    # interrupted build resumes without re-sorting (role of the reference's
-    # prefix_checkpoint.{1,2,3} files, compactds/FMBuilder.hpp:52-58; our
-    # builder is single-pass SA-IS so one checkpoint after the sort suffices)
-    precomputed_sa = None
-    ckpt_path = output_prefix + "_checkpoint.npz"
-    if checkpoint:
-        import hashlib
-        digest = hashlib.sha256(codes.tobytes()).hexdigest()[:16]
-        if os.path.exists(ckpt_path):
-            z = np.load(ckpt_path)
-            if str(z["digest"]) == digest:
-                precomputed_sa = z["sa"]
-                log("Resuming from checkpoint (suffix array cached).")
-        if precomputed_sa is None:
-            from .fm.suffix_array import suffix_array
-            precomputed_sa = suffix_array(codes, len(alphabet))
-            np.savez(ckpt_path, digest=digest, sa=precomputed_sa)
-            log("Checkpoint written after suffix sort.")
+    # Two build paths:
+    #  * whole-text SA-IS (native/sais.cpp, linear time) — fastest when the
+    #    ~17 bytes/char working set fits in RAM;
+    #  * memory-bounded chunked build (fm/sa_external.py + native/
+    #    sa_chunked.cpp) honoring --build-mem/--bmax/--dcv/-t with
+    #    ~10%-granularity checkpoint/resume — the reference's FMBuilder
+    #    capability (compactds/FMBuilder.hpp:371-438,444-811).
+    use_chunked = bool(build_mem) or threads > 1 or \
+        bmax is not None or dcv is not None or \
+        len(codes) > int(os.environ.get("CFR_CHUNKED_BUILD_THRESHOLD",
+                                        1 << 30)) or \
+        os.environ.get("CFR_CHUNKED_BUILD", "") == "1"
+    if use_chunked:
+        from .fm.builder import build_fm_streaming
+        fm = build_fm_streaming(
+            codes, genome_lens, genome_seqids, alphabet, params,
+            dcv=dcv or 4096, bmax=bmax or (1 << 24), threads=threads,
+            build_mem=build_mem,
+            checkpoint_prefix=output_prefix if checkpoint else None, log=log)
+    else:
+        # --checkpoint on the SA-IS path: persist the suffix array (the
+        # expensive stage) so an interrupted build resumes without re-sorting
+        precomputed_sa = None
+        ckpt_path = output_prefix + "_checkpoint.npz"
+        if checkpoint:
+            import hashlib
+            digest = hashlib.sha256(codes.tobytes()).hexdigest()[:16]
+            if os.path.exists(ckpt_path):
+                z = np.load(ckpt_path)
+                if str(z["digest"]) == digest:
+                    precomputed_sa = z["sa"]
+                    log("Resuming from checkpoint (suffix array cached).")
+            if precomputed_sa is None:
+                from .fm.suffix_array import suffix_array
+                precomputed_sa = suffix_array(codes, len(alphabet))
+                np.savez(ckpt_path, digest=digest, sa=precomputed_sa)
+                log("Checkpoint written after suffix sort.")
 
-    fm = build_fm(codes, genome_lens, genome_seqids, alphabet, params,
-                  precomputed_sa=precomputed_sa)
-    if checkpoint and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+        fm = build_fm(codes, genome_lens, genome_seqids, alphabet, params,
+                      precomputed_sa=precomputed_sa)
+        if checkpoint and os.path.exists(ckpt_path):
+            os.remove(ckpt_path)
     log("FM index built; saving.")
 
     save_index(output_prefix, fm, tax, seq_length, protein)

@@ -21,8 +21,12 @@ def main(argv=None):
     ap.add_argument("--name-table", required=True)
     ap.add_argument("--conversion-table")
     ap.add_argument("--build-mem", default=None)
-    ap.add_argument("--bmax", type=int, default=1 << 24)
-    ap.add_argument("--dcv", type=int, default=4096)
+    ap.add_argument("--bmax", type=int, default=None,
+                    help="max suffixes per build chunk (default 2^24; "
+                         "setting it selects the memory-bounded builder)")
+    ap.add_argument("--dcv", type=int, default=None,
+                    help="difference-cover period (default 4096; rounded up "
+                         "to a perfect square)")
     ap.add_argument("--offrate", type=int, default=4,
                     help="SA sampled every 2^<int> BWT chars")
     ap.add_argument("--ftabchars", type=int, default=10)
@@ -60,12 +64,14 @@ def main(argv=None):
     params = FMBuildParams(sample_rate=1 << args.offrate,
                            precompute_width=args.ftabchars,
                            rbbwt_b=args.rbbwt_b)
+    build_mem = space_string_to_bytes(args.build_mem) if args.build_mem else 0
     build_index(genome_files, args.taxonomy_tree, args.name_table,
                 conversion_table, conversion_at_file_level, args.output,
                 concat_same_taxid=args.concat_tax_genome,
                 ignore_uncategorized=args.ignore_uncategorized_genome,
                 subset_tax=args.subset_tax, params=params, protein=args.protein,
-                checkpoint=args.checkpoint)
+                checkpoint=args.checkpoint, build_mem=build_mem,
+                bmax=args.bmax, dcv=args.dcv, threads=args.threads)
     return 0
 
 

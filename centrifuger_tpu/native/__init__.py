@@ -22,7 +22,7 @@ def _build_lib(name):
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
         return out
     cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           "-o", out, src]
+           "-pthread", "-o", out, src]
     sys.stderr.write("[native] compiling %s\n" % name)
     subprocess.run(cmd, check=True, capture_output=True)
     return out
