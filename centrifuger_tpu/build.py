@@ -34,7 +34,7 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
                 conversion_at_file_level, output_prefix,
                 concat_same_taxid=False, ignore_uncategorized=False,
                 subset_tax=0, params=None, protein=False, checkpoint=False,
-                build_mem=0, bmax=None, dcv=None, threads=1):
+                build_mem=0, bmax=None, dcv=None, threads=1, row_map=None):
     params = params or FMBuildParams()
     alphabet = PROTEIN_ALPHABET if protein else DNA_ALPHABET
     if protein:
@@ -142,6 +142,13 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
     codes = np.concatenate(chunks)
     log("Found %d sequences with total length %d bp." % (len(genome_lens), len(codes)))
 
+    # serving accelerator: precompute the per-row LF-walk result (one-gather
+    # SA resolution on device) when the 4 bytes/char cost is acceptable
+    rowmap_max = int(os.environ.get("CFR_ROWMAP_MAX", 1 << 28))
+    if row_map is None:
+        row_map = len(codes) <= rowmap_max
+    params.row_map = bool(row_map)
+
     # Two build paths:
     #  * whole-text SA-IS (native/sais.cpp, linear time) — fastest when the
     #    ~17 bytes/char working set fits in RAM;
@@ -155,6 +162,10 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
                                         1 << 30)) or \
         os.environ.get("CFR_CHUNKED_BUILD", "") == "1"
     if use_chunked:
+        if params.row_map:
+            log("note: --row-map accelerator is skipped on the memory-bounded "
+                "build path (needs the full SA in RAM)")
+            params.row_map = False
         from .fm.builder import build_fm_streaming
         fm = build_fm_streaming(
             codes, genome_lens, genome_seqids, alphabet, params,
@@ -193,6 +204,8 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
 
 def save_index(prefix, fm, tax, seq_length, protein):
     fm.save(prefix + ".fm.npz")
+    if getattr(fm, "rowmap", None) is not None:
+        np.savez(prefix + ".rowmap.npz", rowmap=fm.rowmap)
     tax.save(prefix + ".tax.npz")
     keys = np.array(sorted(seq_length), dtype=np.int64)
     vals = np.array([seq_length[k] for k in keys], dtype=np.int64)
@@ -210,6 +223,8 @@ def save_index(prefix, fm, tax, seq_length, protein):
 def load_index(prefix):
     from .fm.index import FMIndexData
     fm = FMIndexData.load(prefix + ".fm.npz")
+    if os.path.exists(prefix + ".rowmap.npz"):
+        fm.rowmap = np.load(prefix + ".rowmap.npz")["rowmap"]
     tax = Taxonomy.load(prefix + ".tax.npz")
     z = np.load(prefix + ".seqlen.npz")
     seq_length = dict(zip(z["keys"].tolist(), z["vals"].tolist()))

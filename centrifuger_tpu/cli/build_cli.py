@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--ignore-uncategorized-genome", action="store_true")
     ap.add_argument("--checkpoint", action="store_true")
     ap.add_argument("--protein", action="store_true")
+    ap.add_argument("--no-row-map", action="store_true",
+                    help="skip the per-row LF-walk serving accelerator "
+                         "(4 bytes/char; auto-enabled up to $CFR_ROWMAP_MAX)")
     args = ap.parse_args(argv)
 
     genome_files = list(args.ref)
@@ -71,7 +74,8 @@ def main(argv=None):
                 ignore_uncategorized=args.ignore_uncategorized_genome,
                 subset_tax=args.subset_tax, params=params, protein=args.protein,
                 checkpoint=args.checkpoint, build_mem=build_mem,
-                bmax=args.bmax, dcv=args.dcv, threads=args.threads)
+                bmax=args.bmax, dcv=args.dcv, threads=args.threads,
+                row_map=False if args.no_row_map else None)
     return 0
 
 

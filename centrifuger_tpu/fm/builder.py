@@ -20,11 +20,12 @@ from ..utils import log2ceil, div_ceil
 
 class FMBuildParams:
     def __init__(self, sample_rate=16, precompute_width=10, rbbwt_b=0,
-                 has_end_marker=False):
+                 has_end_marker=False, row_map=False):
         self.sample_rate = sample_rate
         self.precompute_width = precompute_width
         self.rbbwt_b = rbbwt_b
         self.has_end_marker = has_end_marker
+        self.row_map = row_map
 
 
 def _psum_search(psums, v):
@@ -142,7 +143,44 @@ def build_fm(codes, genome_lens, genome_seqids, alphabet, params,
 
     # run-block compress the BWT
     idx.bwt = RunBlockSeq.from_codes(bwt_codes, sigma, b=params.rbbwt_b)
+    if params.row_map:
+        idx.rowmap = compute_rowmap(idx, sa)
     return idx
+
+
+def compute_rowmap(idx, sa):
+    """Serving accelerator: rowmap[row] = the exact value the
+    BackwardToSampledSA LF-walk (reference FMIndex.hpp:513-524) would return
+    for `row`, precomputed for every BWT row.  The walk visits rows of text
+    positions SA[row], SA[row]-1, ... and stops at the first stored row, so
+    rowmap[row] = value of the stored row with the largest text position
+    <= SA[row].  Turns the device resolve loop into one gather; costs 4
+    bytes/char, so it is built only for small/medium databases."""
+    n = idx.n
+    rows = np.arange(n, dtype=np.int64)
+    stored = np.zeros(n, dtype=bool)
+    val = np.zeros(n, dtype=np.int64)
+    # precedence must mirror DeviceFM.get_sampled_sa / FMIndex semantics:
+    # firstISA first, then row-sampled, then selected/end-marker rows
+    if idx.has_end_marker and idx.end_marker_sa is not None:
+        m = len(idx.end_marker_sa)
+        stored[:m] = True
+        val[:m] = idx.end_marker_sa
+    if idx.selected_rows is not None and len(idx.selected_rows):
+        stored[idx.selected_rows] = True
+        val[idx.selected_rows] = idx.selected_vals
+    samp = rows % idx.sample_rate == 0
+    stored[samp] = True
+    val[samp] = idx.sampled_sa[rows[samp] // idx.sample_rate]
+    stored[idx.first_isa] = True
+    val[idx.first_isa] = idx.adjusted_sa0
+    s_rows = np.flatnonzero(stored)
+    s_pos = sa[s_rows]
+    order = np.argsort(s_pos)
+    s_pos = s_pos[order]
+    s_val = val[s_rows][order]
+    k = np.searchsorted(s_pos, sa, side="right") - 1
+    return s_val[k].astype(np.int32)
 
 
 class _StreamAccum:

@@ -195,6 +195,11 @@ class DeviceFM:
             self.end_marker_sa = jnp.asarray(fm.end_marker_sa.astype(idtype))
         else:
             self.end_marker_sa = None
+        # optional per-row LF-walk result: SA resolution as ONE gather
+        if getattr(fm, "rowmap", None) is not None:
+            self.rowmap = jnp.asarray(fm.rowmap.astype(jnp.int32))
+        else:
+            self.rowmap = None
 
         # All index arrays as one pytree, passed as ARGUMENTS to the jitted
         # kernels below.  Closing over them instead would embed them as HLO
@@ -202,7 +207,8 @@ class DeviceFM:
         # compilation cache misses whenever the index contents change.
         self.arrs = {}
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa"):
+                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa",
+                  "rowmap"):
             v = getattr(self, k, None)
             if v is not None:
                 self.arrs[k] = v
@@ -222,7 +228,8 @@ class DeviceFM:
         while the arrays flow in as jit arguments."""
         obj = copy.copy(self)
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa"):
+                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa",
+                  "rowmap"):
             if k in arrs:
                 setattr(obj, k, arrs[k])
         for sub in ("ind", "lit", "run"):
@@ -551,7 +558,11 @@ class DeviceFM:
 
     def _resolve_rows_impl(self, rows, valid):
         """Batched LF-walk to a stored sample (BackwardToSampledSA).
-        rows: [M] int; valid: [M] bool mask for padding lanes."""
+        rows: [M] int; valid: [M] bool mask for padding lanes.
+        With the precomputed rowmap the whole walk is ONE gather."""
+        if self.rowmap is not None:
+            r = self.rowmap[jnp.clip(rows, 0, self.n - 1).astype(jnp.int32)]
+            return jnp.where(valid, r, 0).astype(self.idtype)
         def cond(state):
             _, pending, _ = state
             return jnp.any(pending)

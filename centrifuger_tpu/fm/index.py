@@ -39,6 +39,8 @@ class FMIndexData:
         self.selected_vals = None    # int64[] seqids for those rows
         self.has_end_marker = False
         self.end_marker_sa = None    # int64[] seqids for rows < endMarkerCnt
+        self.rowmap = None           # optional int32[n] serving accelerator:
+                                     # precomputed LF-walk result per row
 
     # ------------------------------------------------------------------ queries
 

@@ -107,3 +107,23 @@ def test_fused_vs_oracle_random(tmp_path_factory, paired, k):
         out2.extend(res)
     for w, g in zip(want, out2):
         assert _results_equal(w, g)
+
+
+def test_rowmap_equals_walk(tmp_path_factory):
+    """The precomputed rowmap must equal the LF-walk resolution for every row,
+    and the device walk (rowmap disabled) must agree too."""
+    import jax.numpy as jnp
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.fm.device import DeviceFM
+
+    prefix = get_index("tiny", tmp_path_factory)
+    fm, tax, seqlen, meta = load_index(prefix)
+    assert fm.rowmap is not None, "tiny index should auto-build a rowmap"
+    rows = np.arange(fm.n, dtype=np.int64)
+    want = fm.resolve_rows(rows)          # host LF-walk oracle
+    assert (fm.rowmap.astype(np.int64) == want).all()
+
+    fm.rowmap = None
+    dev = DeviceFM(fm)
+    got = np.asarray(dev.resolve_rows(rows, np.ones(fm.n, bool)))
+    assert (got.astype(np.int64) == want).all()
