@@ -90,7 +90,8 @@ def ensure_fixture():
 
 def ensure_our_index():
     prefix = os.path.join(CACHE, "ouridx")
-    if os.path.exists(prefix + ".fm.npz"):
+    if os.path.exists(prefix + ".fm.npz") and \
+            os.path.exists(prefix + ".rowmap.npz"):
         return prefix
     from centrifuger_tpu.build import build_index
     log("building our index")
@@ -139,8 +140,10 @@ def measure_reference():
     t_small = time.time() - t0
     log("reference classify (full)...")
     t0 = time.time()
-    subprocess.run([ref_bin, "-x", prefix, "-u", os.path.join(CACHE, "reads.fq"),
-                    "-t", nthreads], check=True, capture_output=True)
+    with open(os.path.join(CACHE, "ref_out.tsv"), "wb") as outf:
+        subprocess.run([ref_bin, "-x", prefix, "-u", os.path.join(CACHE, "reads.fq"),
+                        "-t", nthreads], check=True, stdout=outf,
+                       stderr=subprocess.DEVNULL)
     t_full = time.time() - t0
     rps = (N_READS - 100) / max(t_full - t_small, 1e-9)
     log("reference: %.0f reads/s (full %.1fs, startup %.1fs, %s threads)"
@@ -153,80 +156,119 @@ def read_queries():
     from centrifuger_tpu.io.readers import ReadFiles
     rf = ReadFiles()
     rf.add_read_file(os.path.join(CACHE, "reads.fq"))
+    ids = []
     out = []
     for r in rf:
+        ids.append(r.id)
         out.append((np.frombuffer(r.seq.encode(), np.uint8), None))
-    return out
+    return ids, out
 
 
 def measure_ours(prefix):
     import jax
     from centrifuger_tpu.build import load_index
-    from centrifuger_tpu.classify.engine_jax import ClassifierJax
+    from centrifuger_tpu.classify.engine_fused import ClassifierFused
     from centrifuger_tpu.classify.params import ClassifierParam
-    from centrifuger_tpu.classify.engine_np import ClassifierResult
 
     platform = jax.devices()[0].platform
     log("device platform: %s" % platform)
     fm, tax, seqlen, meta = load_index(prefix)
-    cl = ClassifierJax(fm, tax, ClassifierParam())
-    queries = read_queries()
+    cl = ClassifierFused(fm, tax, ClassifierParam())
+    rf, queries = read_queries()
     log("loaded %d reads" % len(queries))
 
-    # warmup pass (compiles every shape bucket incl. the tail batch)
-    t0 = time.time()
-    for i in range(0, len(queries), BATCH_READS):
-        cl.query_batch(queries[i:i + BATCH_READS])
-    log("warmup(+compile): %.1fs" % (time.time() - t0))
+    def batches():
+        for i in range(0, len(queries), BATCH_READS):
+            yield queries[i:i + BATCH_READS]
 
-    # timed end-to-end pass (classification + result objects, excl. TSV I/O);
-    # software-pipelined: device chain-search overlaps host finalize
+    # warmup pass (compiles the main + tail shape buckets)
+    t0 = time.time()
+    cl.query_batch(queries[:BATCH_READS])
+    tail = len(queries) % BATCH_READS or BATCH_READS
+    cl.query_batch(queries[-tail:])
+    t_warm = time.time() - t0
+    log("warmup(+compile): %.1fs" % t_warm)
+    t0 = time.time()
+    cl.query_batch(queries[:BATCH_READS])
+    t_warm2 = time.time() - t0
+    log("warm re-dispatch of one batch: %.2fs" % t_warm2)
+
+    # timed end-to-end pass INCLUDING result formatting + TSV write
+    from centrifuger_tpu.io.writer import ResultWriter
+    out_path = os.path.join(CACHE, "our_out.tsv")
     t0 = time.time()
     nclass = 0
-    batches = (queries[i:i + BATCH_READS]
-               for i in range(0, len(queries), BATCH_READS))
-    for res in cl.query_pipelined(batches):
-        nclass += sum(1 for r in res if r.tax_ids)
+    with open(out_path, "w") as outf:
+        w = ResultWriter(out=outf)
+        w.output_header()
+        ridx = 0
+        for res in cl.query_pipelined(batches()):
+            for r in res:
+                w.output(rf[ridx], None, None, None, None, None, None, r)
+                ridx += 1
+        nclass = w.classified_cnt
     dt = time.time() - t0
     rps = len(queries) / dt
-    log("ours end-to-end: %.0f reads/s (%.1fs, %d/%d classified)"
+    log("ours end-to-end incl TSV: %.0f reads/s (%.1fs, %d/%d classified)"
         % (rps, dt, nclass, len(queries)))
+    log("engine stats: %s" % cl.stats)
 
-    # device-kernel-only throughput (chain search on the packed batch)
-    enc_batches = []
+    # byte-compare our TSV against the reference binary's output
+    tsv_identical = None
+    ref_out = os.path.join(CACHE, "ref_out.tsv")
+    if os.path.exists(ref_out):
+        with open(out_path, "rb") as f1, open(ref_out, "rb") as f2:
+            tsv_identical = f1.read() == f2.read()
+        log("TSV vs reference binary: %s"
+            % ("IDENTICAL" if tsv_identical else "DIFFERS"))
+
+    # device-program-only throughput (fused classify, no host finalize)
+    packs = []
     for i in range(0, len(queries), BATCH_READS):
-        batch = queries[i:i + BATCH_READS]
-        lanes = []
-        for r1, _ in batch:
-            from centrifuger_tpu.utils import COMP_TABLE
-            lanes.append(cl.encode[r1])
-            lanes.append(cl.encode[COMP_TABLE[r1][::-1]])
-        L = 128
-        codes = np.full((2 * BATCH_READS, L), 255, np.uint8)
-        lengths = np.zeros(2 * BATCH_READS, np.int32)
-        for j, c in enumerate(lanes):
-            codes[j, :len(c)] = c
-            lengths[j] = len(c)
-        enc_batches.append((codes, lengths))
+        packs.append(cl._pack_reads(queries[i:i + BATCH_READS])[:2])
     mhl = cl.param.min_hit_len
+    L = packs[0][0].shape[1]
     H = L // (mhl + 1) + 1
-    out = cl.dev.chain_search(enc_batches[0][0], enc_batches[0][1], mhl, H)
-    np.asarray(out["nhits"])  # warm
+
+    def run_fused(reads, lengths):
+        return cl.dev.fused_classify(reads, lengths, 1, mhl, H,
+                                     cl.param.max_result,
+                                     cl.param.max_result_per_hit_factor,
+                                     cl.K_OUT, reads.shape[0] * cl.U_CAP)
+
+    out = run_fused(*packs[0])
+    np.asarray(out["packed"])
     t0 = time.time()
-    for codes, lengths in enc_batches:
-        out = cl.dev.chain_search(codes, lengths, mhl, H)
-    np.asarray(out["nhits"])
+    for reads, lengths in packs:
+        out = run_fused(reads, lengths)
+    np.asarray(out["packed"])
     dt_dev = time.time() - t0
     dev_rps = len(queries) / dt_dev
-    log("device chain-search only: %.0f reads/s" % dev_rps)
-    return rps, dev_rps, platform
+    log("device fused-classify only: %.0f reads/s" % dev_rps)
+    return rps, dev_rps, platform, t_warm, t_warm2, tsv_identical
+
+
+def ensure_ref_tsv():
+    """Make sure the reference binary's TSV exists for the byte-diff."""
+    ref_bin = os.path.join(REFBUILD, "centrifuger")
+    prefix = os.path.join(CACHE, "refidx")
+    out = os.path.join(CACHE, "ref_out.tsv")
+    if os.path.exists(out) or not os.path.exists(ref_bin) \
+            or not os.path.exists(prefix + ".1.cfr"):
+        return
+    with open(out, "wb") as outf:
+        subprocess.run([ref_bin, "-x", prefix, "-u",
+                        os.path.join(CACHE, "reads.fq"),
+                        "-t", str(os.cpu_count())], check=True, stdout=outf,
+                       stderr=subprocess.DEVNULL)
 
 
 def main():
     ensure_fixture()
     baseline = measure_reference()
+    ensure_ref_tsv()
     prefix = ensure_our_index()
-    rps, dev_rps, platform = measure_ours(prefix)
+    rps, dev_rps, platform, t_warm, t_warm2, tsv_ok = measure_ours(prefix)
     vs = (rps / baseline) if baseline else None
     print(json.dumps({
         "metric": "classification_reads_per_sec",
@@ -234,9 +276,12 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
         "extra": {
-            "device_chain_search_reads_per_sec": round(dev_rps, 1),
+            "device_fused_classify_reads_per_sec": round(dev_rps, 1),
             "baseline_reference_reads_per_sec": round(baseline, 1) if baseline else None,
             "platform": platform,
+            "warmup_cold_sec": round(t_warm, 1),
+            "warm_batch_sec": round(t_warm2, 3),
+            "tsv_identical_to_reference": tsv_ok,
             "db_nt": DB_NT, "n_reads": N_READS, "read_len": READ_LEN,
         },
     }))
