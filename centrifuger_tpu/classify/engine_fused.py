@@ -74,6 +74,24 @@ class ClassifierFused(ClassifierJax):
             self.param.max_result_per_hit_factor, self.K_OUT, Q * self.U_CAP)
         return dict(queries=queries, out=out, nr=nr, Q0=Q0)
 
+    def finish_packed(self, ctx):
+        """Pull the packed device results; returns (packed [Q0, 5+K] np array,
+        fallback_results dict {unit: ClassifierResult}).  Fallback units are
+        the only per-read host work."""
+        queries, out, nr, Q0 = ctx["queries"], ctx["out"], ctx["nr"], ctx["Q0"]
+        packed = np.asarray(out["packed"])[:Q0]          # the ONE result pull
+        fallback = (packed[:, 4] != 0) | (packed[:, 3] > self.K_OUT)
+        fb_idx = np.flatnonzero(fallback)
+        self.stats["fallback_units"] += int(len(fb_idx))
+        self.stats["fast_units"] += int(Q0 - len(fb_idx))
+        fb = {}
+        if len(fb_idx):
+            hits = np.asarray(out["hits"])
+            nh = np.asarray(out["nhits"])
+            for qi in fb_idx:
+                fb[int(qi)] = self._fallback_unit(queries[qi], qi, hits, nh, nr)
+        return packed, fb
+
     def _finish_fused(self, ctx):
         queries, out, nr, Q0 = ctx["queries"], ctx["out"], ctx["nr"], ctx["Q0"]
         packed = np.asarray(out["packed"])[:Q0]          # the ONE result pull
@@ -180,6 +198,86 @@ class ClassifierFused(ClassifierJax):
             if len(r1) > self.L_MAX or (r2 is not None and len(r2) > self.L_MAX):
                 return True
         return False
+
+    def query_pipelined_packed(self, batches):
+        """Like query_pipelined but yields (packed, fallback_dict, queries)
+        per batch — the array-level fast path for TSV serving."""
+        from collections import deque
+        pend = deque()
+        for batch in batches:
+            if not batch:
+                yield np.zeros((0, 5 + self.K_OUT), np.int32), {}, []
+                continue
+            if not self._fused_ok() or self._too_long(batch):
+                while pend:
+                    c = pend.popleft()
+                    yield self.finish_packed(c) + (c["queries"],)
+                res = super().query_batch(batch)
+                yield None, dict(enumerate(res)), batch
+                continue
+            pend.append(self._dispatch_fused(batch))
+            if len(pend) >= 2:
+                c = pend.popleft()
+                yield self.finish_packed(c) + (c["queries"],)
+        while pend:
+            c = pend.popleft()
+            yield self.finish_packed(c) + (c["queries"],)
+
+    def format_tsv_batch(self, packed, fb, queries, read_ids):
+        """TSV rows for the default column set (no barcode/UMI/expanded),
+        byte-identical to ResultWriter.output over materialized results.
+        Returns (lines list, classified_count)."""
+        tax = self.tax
+        kmax = self.param.max_result
+        lines = []
+        ncls = 0
+        if packed is None:
+            packed = np.zeros((0, 5 + self.K_OUT), np.int32)
+        n_dev = len(packed)
+        for qi, (r1, r2) in enumerate(queries):
+            rid = read_ids[qi]
+            if qi >= n_dev or qi in fb:
+                res = fb[qi]
+                qlen = res.query_length
+                m = len(res.tax_ids)
+                if m == 0:
+                    lines.append("%s\tunclassified\t0\t0\t0\t0\t%d\t1"
+                                 % (rid, qlen))
+                    continue
+                ncls += 1
+                for i in range(m):
+                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
+                        rid, res.seq_names[i], res.tax_ids[i], res.score,
+                        res.secondary_score, res.hit_length, qlen, m))
+                continue
+            qlen = len(r1) + (len(r2) if r2 is not None else 0)
+            nb = int(packed[qi, 3])
+            if nb == 0:
+                lines.append("%s\tunclassified\t0\t0\t0\t0\t%d\t1" % (rid, qlen))
+                continue
+            ncls += 1
+            score = int(packed[qi, 0])
+            second = score if nb > 1 else int(packed[qi, 1])
+            hitlen = int(packed[qi, 2])
+            if nb <= kmax:
+                for j in range(nb):
+                    sid = int(packed[qi, 5 + j])
+                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
+                        rid, tax.seq_id_to_name(sid),
+                        tax.orig_tax_id(tax.seq_id_to_tax_id(sid)),
+                        score, second, hitlen, qlen, nb))
+            else:
+                from ..taxonomy import rank_string
+                ctids = [tax.seq_id_to_tax_id(int(packed[qi, 5 + j]))
+                         for j in range(nb)]
+                promoted, _ = tax.reduce_tax_ids(ctids, kmax,
+                                                 want_children=False)
+                m = len(promoted)
+                for t in promoted:
+                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
+                        rid, rank_string(tax.tax_rank(t)), tax.orig_tax_id(t),
+                        score, second, hitlen, qlen, m))
+        return lines, ncls
 
     def query_pipelined(self, batches):
         """Two-deep software pipeline: batch i+1's upload/compute overlaps

@@ -265,7 +265,24 @@ def main(argv=None):
     # overlaps host finalize of batch i (plus the reader thread above);
     # this is the 3-stage pipeline of the reference (input/classify/output,
     # CentrifugerClass.cpp:761-887) in async-dispatch form
-    if hasattr(classifier, "query_pipelined"):
+    fast_tsv = (hasattr(classifier, "query_pipelined_packed")
+                and not has_barcode and not has_umi and not args.expand_taxid
+                and not args.un_prefix and not args.cl_prefix
+                and not sample_outputs)
+    if fast_tsv:
+        # array-level fast path: packed device results -> TSV lines directly,
+        # skipping per-read result objects entirely
+        pending = []
+        for packed, fb, queries in classifier.query_pipelined_packed(
+                _batch_queries(b, merger) for b in _tee_batches(pending, batches())):
+            batch = pending.pop(0)
+            rids = [r1.id for r1, _, _, _ in batch]
+            lines, ncls = classifier.format_tsv_batch(packed, fb, queries, rids)
+            if lines:
+                writer.fp.write("\n".join(lines) + "\n")
+            writer.total_cnt += len(batch)
+            writer.classified_cnt += ncls
+    elif hasattr(classifier, "query_pipelined"):
         pending = []
         for results in classifier.query_pipelined(
                 _batch_queries(b, merger) for b in _tee_batches(pending, batches())):
