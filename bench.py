@@ -90,9 +90,11 @@ def ensure_fixture():
 
 def ensure_our_index():
     prefix = os.path.join(CACHE, "ouridx")
-    if os.path.exists(prefix + ".fm.npz") and \
-            os.path.exists(prefix + ".rowmap.npz"):
-        return prefix
+    if os.path.exists(prefix + ".fm.npz") and os.path.exists(prefix + ".meta.json"):
+        meta = json.load(open(prefix + ".meta.json"))
+        # cached iff rowmap is present OR was intentionally not built
+        if os.path.exists(prefix + ".rowmap.npz") or not meta.get("row_map", True):
+            return prefix
     from centrifuger_tpu.build import build_index
     log("building our index")
     t0 = time.time()
@@ -152,65 +154,75 @@ def measure_reference():
     return rps
 
 
-def read_queries():
-    from centrifuger_tpu.io.readers import ReadFiles
-    rf = ReadFiles()
-    rf.add_read_file(os.path.join(CACHE, "reads.fq"))
-    ids = []
-    out = []
-    for r in rf:
-        ids.append(r.id)
-        out.append((np.frombuffer(r.seq.encode(), np.uint8), None))
-    return ids, out
-
-
 def measure_ours(prefix):
     import jax
     from centrifuger_tpu.build import load_index
     from centrifuger_tpu.classify.engine_fused import ClassifierFused
     from centrifuger_tpu.classify.params import ClassifierParam
+    from centrifuger_tpu.io.fastq_fast import iter_fastq_batches
 
     platform = jax.devices()[0].platform
     log("device platform: %s" % platform)
     fm, tax, seqlen, meta = load_index(prefix)
     cl = ClassifierFused(fm, tax, ClassifierParam())
-    rf, queries = read_queries()
-    log("loaded %d reads" % len(queries))
+    cl.bucket_q = BATCH_READS   # pad the tail batch: ONE compiled program
+    fq = os.path.join(CACHE, "reads.fq")
 
-    def batches():
-        for i in range(0, len(queries), BATCH_READS):
-            yield queries[i:i + BATCH_READS]
-
-    # warmup pass (compiles the main + tail shape buckets)
+    # warmup pass: compiles the single shape bucket
+    first_ids, first_queries = next(iter_fastq_batches(fq, BATCH_READS))
     t0 = time.time()
-    cl.query_batch(queries[:BATCH_READS])
-    tail = len(queries) % BATCH_READS or BATCH_READS
-    cl.query_batch(queries[-tail:])
+    cl.query_batch(first_queries)
     t_warm = time.time() - t0
     log("warmup(+compile): %.1fs" % t_warm)
     t0 = time.time()
-    cl.query_batch(queries[:BATCH_READS])
+    cl.query_batch(first_queries)
     t_warm2 = time.time() - t0
     log("warm re-dispatch of one batch: %.2fs" % t_warm2)
 
-    # timed end-to-end pass INCLUDING result formatting + TSV write
-    from centrifuger_tpu.io.writer import ResultWriter
+    # timed END-TO-END pass: FASTQ parse (reader thread, overlapped) + device
+    # classify + TSV format + write — the same work the reference binary is
+    # timed on (its own pipeline also overlaps input with classification).
+    import threading
+    import queue as _queue
     out_path = os.path.join(CACHE, "our_out.tsv")
-    t0 = time.time()
+    bq = _queue.Queue(maxsize=4)
+
+    def producer():
+        for item in iter_fastq_batches(fq, BATCH_READS):
+            bq.put(item)
+        bq.put(None)
+
+    idq = []
+
+    def qbatches():
+        while True:
+            item = bq.get()
+            if item is None:
+                return
+            idq.append(item[0])
+            yield item[1]
+
+    nreads = 0
     nclass = 0
+    t0 = time.time()
+    th = threading.Thread(target=producer, daemon=True)
+    th.start()
     with open(out_path, "w") as outf:
-        w = ResultWriter(out=outf)
-        w.output_header()
-        ridx = 0
-        for res in cl.query_pipelined(batches()):
-            for r in res:
-                w.output(rf[ridx], None, None, None, None, None, None, r)
-                ridx += 1
-        nclass = w.classified_cnt
+        outf.write("readID\tseqID\ttaxID\tscore\t2ndBestScore\thitLength\t"
+                   "queryLength\tnumMatches\n")
+        bi = 0
+        for packed, fb, queries in cl.query_pipelined_packed(qbatches()):
+            lines, nc = cl.format_tsv_batch(packed, fb, queries, idq[bi])
+            bi += 1
+            outf.write("\n".join(lines))
+            outf.write("\n")
+            nclass += nc
+            nreads += len(queries)
+    th.join()
     dt = time.time() - t0
-    rps = len(queries) / dt
-    log("ours end-to-end incl TSV: %.0f reads/s (%.1fs, %d/%d classified)"
-        % (rps, dt, nclass, len(queries)))
+    rps = nreads / dt
+    log("ours end-to-end incl FASTQ parse + TSV: %.0f reads/s "
+        "(%.1fs, %d/%d classified)" % (rps, dt, nclass, nreads))
     log("engine stats: %s" % cl.stats)
 
     # byte-compare our TSV against the reference binary's output
@@ -224,8 +236,8 @@ def measure_ours(prefix):
 
     # device-program-only throughput (fused classify, no host finalize)
     packs = []
-    for i in range(0, len(queries), BATCH_READS):
-        packs.append(cl._pack_reads(queries[i:i + BATCH_READS])[:2])
+    for _, queries in iter_fastq_batches(fq, BATCH_READS):
+        packs.append(cl._pack_reads(queries)[:2])
     mhl = cl.param.min_hit_len
     L = packs[0][0].shape[1]
     H = L // (mhl + 1) + 1
@@ -243,7 +255,7 @@ def measure_ours(prefix):
         out = run_fused(reads, lengths)
     np.asarray(out["packed"])
     dt_dev = time.time() - t0
-    dev_rps = len(queries) / dt_dev
+    dev_rps = nreads / dt_dev
     log("device fused-classify only: %.0f reads/s" % dev_rps)
     return rps, dev_rps, platform, t_warm, t_warm2, tsv_identical
 

@@ -143,11 +143,13 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
     log("Found %d sequences with total length %d bp." % (len(genome_lens), len(codes)))
 
     # serving accelerator: precompute the per-row LF-walk result (one-gather
-    # SA resolution on device) when the 4 bytes/char cost is acceptable
-    rowmap_max = int(os.environ.get("CFR_ROWMAP_MAX", 1 << 28))
+    # SA resolution on device) when the 4 bytes/char cost is acceptable.
+    # Clamped below 2^31 so the device's int32 rowmap gather can never wrap.
+    rowmap_max = min(int(os.environ.get("CFR_ROWMAP_MAX", 1 << 28)),
+                     (1 << 31) - 1)
     if row_map is None:
         row_map = len(codes) <= rowmap_max
-    params.row_map = bool(row_map)
+    params.row_map = bool(row_map) and len(codes) < (1 << 31)
 
     # Two build paths:
     #  * whole-text SA-IS (native/sais.cpp, linear time) — fastest when the
@@ -156,16 +158,21 @@ def build_index(genome_files, taxonomy_file, name_table, conversion_table,
     #    sa_chunked.cpp) honoring --build-mem/--bmax/--dcv/-t with
     #    ~10%-granularity checkpoint/resume — the reference's FMBuilder
     #    capability (compactds/FMBuilder.hpp:371-438,444-811).
-    use_chunked = bool(build_mem) or threads > 1 or \
-        bmax is not None or dcv is not None or \
+    explicit_chunked = bool(build_mem) or bmax is not None or \
+        dcv is not None or \
         len(codes) > int(os.environ.get("CFR_CHUNKED_BUILD_THRESHOLD",
                                         1 << 30)) or \
         os.environ.get("CFR_CHUNKED_BUILD", "") == "1"
+    use_chunked = explicit_chunked or threads > 1
+    if use_chunked and not explicit_chunked:
+        # -t alone selected the chunked path purely for sort parallelism;
+        # if the native library can't be built, SA-IS still works fine
+        from .native import load as _native_load
+        if _native_load("sa_chunked") is None:
+            sys.stderr.write("WARNING: native sa_chunked unavailable; "
+                             "building single-threaded via SA-IS instead.\n")
+            use_chunked = False
     if use_chunked:
-        if params.row_map:
-            log("note: --row-map accelerator is skipped on the memory-bounded "
-                "build path (needs the full SA in RAM)")
-            params.row_map = False
         from .fm.builder import build_fm_streaming
         fm = build_fm_streaming(
             codes, genome_lens, genome_seqids, alphabet, params,
@@ -215,6 +222,7 @@ def save_index(prefix, fm, tax, seq_length, protein):
         "SA_sample_rate": fm.sample_rate,
         "sequence_type": "amino_acid" if protein else "nucleotide",
         "build_date": time.strftime("%c"),
+        "row_map": bool(getattr(fm, "rowmap", None) is not None),
     }
     with open(prefix + ".meta.json", "w") as f:
         json.dump(meta, f, indent=1)

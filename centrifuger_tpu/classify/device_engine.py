@@ -13,6 +13,18 @@ Motivation (measured on the TPU serving setup): host<->device transfers carry
 Here the only per-batch transfers are the raw read bytes up and the compact
 result rows down.
 
+Layout (round-3 redesign): every aggregation segment (strand group, seqid
+record, merge chain) lives INSIDE one read-unit, and each unit owns a fixed
+S = 4*H hit-slot row and a fixed W = u_cap expanded-row row.  So the whole
+finalize runs as [Q, S] / [Q, W] per-row ops: minor-axis `lax.sort`s of
+16-24-wide rows and log2(W)-step doubling reductions — NOT global sorts and
+associative_scans over Q*W rows.  Two reasons, both measured:
+  * XLA:TPU compile-time: a cumulative-scan output elementwise-combined with
+    a large-table gather result melts the fusion pass (~220 s per program,
+    tools/bisect_compile4.py); the doubling form compiles in seconds.
+  * runtime: [131072]-row 3-key sorts cost tens of ms; [8192, 16] minor-axis
+    sorts are microseconds.
+
 Semantics are value-identical to the host engine (classify/engine_np.py) and
 therefore to the reference binary:
   * chain search      = GetHitsFromRead x BackwardSearch
@@ -41,48 +53,61 @@ FLAG_ADJUST = 1      # both strands hit somewhere -> boundary-adjustment path
 FLAG_ROW_OVERFLOW = 2  # unit's expanded SA rows exceed the device row budget
 
 
-def _exclusive_cumsum(x):
-    c = jnp.cumsum(x)
-    return jnp.concatenate([jnp.zeros(1, x.dtype), c[:-1]]), c
+# ---------------------------------------------------------------- row helpers
+# All per-unit scans run along axis 1 (width 16-32) as log2(W) static-shift
+# doubling steps.  Deliberately NO lax.associative_scan / lax.cummax: their
+# outputs fused with gather results trigger a pathological XLA:TPU fusion-pass
+# blowup (measured ~220 s compile; see module docstring).
+
+def _row_shift_right(x, s, fill):
+    """[Q, W] -> x shifted right by s along axis 1, filling with `fill`."""
+    Q, W = x.shape
+    pad = jnp.full((Q, s), fill, x.dtype)
+    return jnp.concatenate([pad, x[:, :W - s]], axis=1)
 
 
-def _changed(a):
-    """[R] -> bool flags: element differs from its predecessor (first=True)."""
-    d = jnp.ones(a.shape[0], bool)
-    return d.at[1:].set(a[1:] != a[:-1])
+def _row_cumsum(x):
+    """Inclusive cumsum along axis 1."""
+    s = 1
+    W = x.shape[1]
+    while s < W:
+        x = x + _row_shift_right(x, s, jnp.zeros((), x.dtype))
+        s *= 2
+    return x
 
 
-def _seg_start_index(boundary):
-    """Per row: index of its segment's first row (boundary: bool [R])."""
-    idx = jnp.arange(boundary.shape[0], dtype=jnp.int32)
-    return lax.associative_scan(jnp.maximum, jnp.where(boundary, idx, -1))
+def _row_cummax(x):
+    """Inclusive cummax along axis 1."""
+    s = 1
+    W = x.shape[1]
+    mn = jnp.asarray(np.iinfo(np.int32).min, x.dtype)
+    while s < W:
+        x = jnp.maximum(x, _row_shift_right(x, s, mn))
+        s *= 2
+    return x
 
 
-def _seg_end_index(boundary):
-    """Per row: index of its segment's last row."""
-    R = boundary.shape[0]
-    idx = jnp.arange(R, dtype=jnp.int32)
-    nxt = jnp.concatenate([boundary[1:], jnp.ones(1, bool)])  # last row of seg
-    return lax.associative_scan(jnp.minimum,
-                                jnp.where(nxt, idx, I32_MAX), reverse=True)
-
-
-def _seg_cummax(vals, boundary):
-    def comb(l, r):
-        lf, lv = l
-        rf, rv = r
-        return (lf | rf, jnp.where(rf, rv, jnp.maximum(lv, rv)))
-    _, v = lax.associative_scan(comb, (boundary, vals))
+def _row_seg_cumsum(vals, boundary):
+    """Inclusive SEGMENTED cumsum along axis 1; boundary=True starts a new
+    segment at that column."""
+    v, f = vals, boundary
+    s = 1
+    W = vals.shape[1]
+    zero = jnp.zeros((), vals.dtype)
+    while s < W:
+        v_sh = _row_shift_right(v, s, zero)
+        f_sh = _row_shift_right(f, s, True)
+        v = jnp.where(f, v, v_sh + v)
+        f = f | f_sh
+        s *= 2
     return v
 
 
-def _seg_cumsum(vals, boundary):
-    def comb(l, r):
-        lf, lv = l
-        rf, rv = r
-        return (lf | rf, jnp.where(rf, rv, lv + rv))
-    _, v = lax.associative_scan(comb, (boundary, vals))
-    return v
+def _row_changed(a):
+    """[Q, W] -> bool: column differs from its left neighbor (col 0 = True)."""
+    Q, W = a.shape
+    d = a[:, 1:] != a[:, :-1]
+    return jnp.concatenate([jnp.ones((Q, 1), bool), d], axis=1)
 
 
 def encode_dna_device(reads, lengths):
@@ -124,12 +149,12 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     Q = U // nr
     it = dev.idtype
     max_entries = max_result * hitk_factor
+    rowQ = jnp.arange(Q, dtype=jnp.int32)
 
     # ---- encode + strand lanes: lane 2u = fwd, 2u+1 = rc ----
     cf, cr = encode_dna_device(reads, lengths.astype(jnp.int32))
     codes = jnp.stack([cf, cr], axis=1).reshape(2 * U, L)
     lanelens = jnp.repeat(lengths.astype(jnp.int32), 2)
-    B = 2 * U
 
     # ---- chain search ----
     ch = dev._chain_search_impl(codes, lanelens, mhl, H)
@@ -143,15 +168,14 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
         jnp.where(hmask & (hlv >= mhl),
                   (hlv.astype(jnp.int32) - adj) ** 2, 0), axis=1)
 
-    q = jnp.arange(Q, dtype=jnp.int32)
     if nr == 2:
-        f1, r1, f2, r2 = 4 * q, 4 * q + 1, 4 * q + 2, 4 * q + 3
+        f1, r1, f2, r2 = 4 * rowQ, 4 * rowQ + 1, 4 * rowQ + 2, 4 * rowQ + 3
         sc_plus = lane_score[f1] + lane_score[r2]
         sc_minus = lane_score[r1] + lane_score[f2]
         needs_adjust = ((nhits[f1] > 0) & (nhits[r1] > 0)) | \
                        ((nhits[f2] > 0) & (nhits[r2] > 0))
     else:
-        f1, r1 = 2 * q, 2 * q + 1
+        f1, r1 = 2 * rowQ, 2 * rowQ + 1
         f2 = r2 = jnp.full(Q, -1, jnp.int32)
         sc_plus = lane_score[f1]
         sc_minus = lane_score[r1]
@@ -166,38 +190,43 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
         jnp.where(take_plus, r2, -1),
         jnp.where(take_minus, r1, -1),
         jnp.where(take_minus, f2, -1)], axis=1)          # [Q, 4]
-    slot_k = jnp.broadcast_to(jnp.array([1, 1, 0, 0], jnp.int32), (Q, 4))
 
-    # ---- flat unit-hit table [F = Q*4*H] in host-finalizer flat order ----
+    # ---- per-unit hit table [Q, S] (slot-major, hit within slot) ----
     S = 4 * H
-    F = Q * S
     lane_of_slot = slot_lane.reshape(-1)                  # [Q*4]
     lane_safe = jnp.maximum(lane_of_slot, 0)
-    # gather hit rows for each slot: [Q*4, H]
+
     def slot_gather(a):
-        return a[lane_safe].reshape(Q, 4, H).reshape(F)
-    f_sp = slot_gather(hsp).astype(jnp.int32)
-    f_ep = slot_gather(hep).astype(jnp.int32)
-    f_l = slot_gather(hlv).astype(jnp.int32)
-    f_off = slot_gather(hoff).astype(jnp.int32)
-    f_n = jnp.repeat(nhits[lane_safe], H)
-    hit_pos = jnp.tile(jnp.arange(H, dtype=jnp.int32), (Q * 4,))
-    present = (jnp.repeat(lane_of_slot, H) >= 0) & (hit_pos < f_n)
-    f_k = jnp.repeat(slot_k.reshape(-1), H)
-    f_uid = jnp.repeat(q, S)
+        return a[lane_safe].reshape(Q, S).astype(jnp.int32)
+    f_sp = slot_gather(hsp)
+    f_ep = slot_gather(hep)
+    f_l = slot_gather(hlv)
+    f_off = slot_gather(hoff)
+    f_n = jnp.broadcast_to(nhits[lane_safe].reshape(Q, 4)[:, :, None],
+                           (Q, 4, H)).reshape(Q, S)
+    hit_pos = jnp.tile(jnp.arange(H, dtype=jnp.int32), (4,))[None, :]
+    present = (jnp.broadcast_to(slot_lane[:, :, None] >= 0,
+                                (Q, 4, H)).reshape(Q, S)) & (hit_pos < f_n)
+    f_k = jnp.broadcast_to(jnp.array([1, 1, 0, 0], jnp.int32)[None, :, None],
+                           (Q, 4, H)).reshape(Q, S)
 
     # previous present hit within the unit (for mix/merge adjacency)
-    fidx = jnp.arange(F, dtype=jnp.int32)
-    prev_present = lax.associative_scan(
-        jnp.maximum, jnp.where(present, fidx, -1))
-    prev_idx = jnp.concatenate([jnp.full(1, -1, jnp.int32), prev_present[:-1]])
-    unit_start = f_uid * S
-    has_prev = present & (prev_idx >= unit_start)
+    colS = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (Q, S))
+    prev_idx = _row_shift_right(
+        _row_cummax(jnp.where(present, colS, -1)), 1, -1)  # [Q, S]
+    has_prev = present & (prev_idx >= 0)
     prev_safe = jnp.maximum(prev_idx, 0)
 
+    baseS = (rowQ * S)[:, None]                           # [Q, 1]
+    fk_flat = f_k.reshape(-1)
+    fl_flat = f_l.reshape(-1)
+    foff_flat = f_off.reshape(-1)
+    prev_flat = (baseS + prev_safe).reshape(-1)
+    f_k_prev = fk_flat[prev_flat].reshape(Q, S)
+
     # mixStrand per unit (over the full present-hit list, Classifier.hpp:584-591)
-    mix_flag = has_prev & (f_k != f_k[prev_safe])
-    mix = jnp.any(mix_flag.reshape(Q, S), axis=1)
+    mix_flag = has_prev & (f_k != f_k_prev)
+    mix = jnp.any(mix_flag, axis=1)                       # [Q]
 
     # ---- row expansion with striding (Classifier.hpp:606-652) ----
     rng = f_ep - f_sp + 1
@@ -212,149 +241,128 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     # per-UNIT row budget u_cap = r_cap // Q: a unit whose expansion exceeds
     # it is flagged for host fallback without perturbing any other unit's rows
     u_cap = r_cap // Q
-    R = Q * u_cap
-    counts2 = counts.reshape(Q, S)
-    wcum = jnp.cumsum(counts2, axis=1)                 # [Q, S] inclusive
-    unit_total = wcum[:, -1]
+    W = u_cap
+    wcum = _row_cumsum(counts)                            # [Q, S] inclusive
+    unit_total = wcum[:, -1]                              # [Q]
     overflow = unit_total > u_cap
-    starts = (f_uid * u_cap + (wcum - counts2).reshape(F)).astype(jnp.int32)
+    starts_in = wcum - counts                             # [Q, S] row-local
 
-    ridx = jnp.arange(R, dtype=jnp.int32)
-    r_q = ridx // u_cap
-    r_j = ridx - r_q * u_cap
-    row_valid = r_j < jnp.minimum(unit_total[r_q], u_cap)
+    colW = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[None, :], (Q, W))
+    row_valid = colW < jnp.minimum(unit_total, u_cap)[:, None]
     # hit within unit: count of unit hits whose cumulative rows <= j
-    hit_in_unit = jnp.sum((wcum[r_q] <= r_j[:, None]).astype(jnp.int32),
-                          axis=1)
-    hit_of_row = jnp.clip(r_q * S + hit_in_unit, 0, F - 1)
-    pos = (r_j - (starts[hit_of_row] - r_q * u_cap)).astype(jnp.int32)
-    r_sp = f_sp[hit_of_row]
-    r_ep = f_ep[hit_of_row]
-    r_step = step[hit_of_row].astype(jnp.int32)
-    r_cf = cnt_fwd[hit_of_row].astype(jnp.int32)
-    r_simple = simple[hit_of_row]
+    hiu = jnp.sum((wcum[:, None, :] <= colW[:, :, None]).astype(jnp.int32),
+                  axis=2)                                 # [Q, W]
+    hit_of_row = jnp.clip(hiu, 0, S - 1)
+    hf = (baseS + hit_of_row).reshape(-1)                 # flat [Q*W] into [Q*S]
+    r_sp = f_sp.reshape(-1)[hf].reshape(Q, W)
+    r_ep = f_ep.reshape(-1)[hf].reshape(Q, W)
+    r_step = step.reshape(-1)[hf].reshape(Q, W)
+    r_cf = cnt_fwd.reshape(-1)[hf].reshape(Q, W)
+    r_simple = simple.reshape(-1)[hf].reshape(Q, W)
+    pos = colW - starts_in.reshape(-1)[hf].reshape(Q, W)
     rows = jnp.where(r_simple, r_sp + pos,
                      jnp.where(pos < r_cf, r_sp + pos * r_step,
                                r_ep - (pos - r_cf) * r_step))
     rows = jnp.where(row_valid, rows, 0)
 
     # ---- LF-walk resolve (BackwardToSampledSA, FMIndex.hpp:513-524) ----
-    seqids = dev._resolve_rows_impl(rows.astype(it), row_valid).astype(jnp.int32)
+    seqids = dev._resolve_rows_impl(
+        rows.reshape(-1).astype(it),
+        row_valid.reshape(-1)).astype(jnp.int32).reshape(Q, W)
 
     # ---- merge-chain ids over hits (needs resolved seqid of 1-row hits) ----
-    sid_uniq = seqids[jnp.clip(starts, 0, R - 1)]
+    baseW = (rowQ * W)[:, None]                           # [Q, 1]
+    sid_uniq = seqids.reshape(-1)[
+        (baseW + jnp.clip(starts_in, 0, W - 1)).reshape(-1)].reshape(Q, S)
     uniq_hit = live & (rng == 1)
-    merge_prev = (has_prev & (~mix[f_uid])
-                  & uniq_hit & uniq_hit[prev_safe]
-                  & (f_k == f_k[prev_safe])
-                  & (f_off[prev_safe] + f_l[prev_safe] + 1 == f_off)
-                  & (sid_uniq == sid_uniq[prev_safe]))
-    chain_of_hit = jnp.cumsum((present & (~merge_prev)).astype(jnp.int32))
+    uniq_prev = uniq_hit.reshape(-1)[prev_flat].reshape(Q, S)
+    foff_prev = foff_flat[prev_flat].reshape(Q, S)
+    fl_prev = fl_flat[prev_flat].reshape(Q, S)
+    sid_uniq_prev = sid_uniq.reshape(-1)[prev_flat].reshape(Q, S)
+    merge_prev = (has_prev & (~mix[:, None])
+                  & uniq_hit & uniq_prev
+                  & (f_k == f_k_prev)
+                  & (foff_prev + fl_prev + 1 == f_off)
+                  & (sid_uniq == sid_uniq_prev))
+    chain_of_hit = _row_cumsum((present & (~merge_prev)).astype(jnp.int32))
 
-    # ---- sort rows by (uid*2+k, sid, hit) ----
-    key_a = jnp.where(row_valid, f_uid[hit_of_row] * 2 + f_k[hit_of_row],
-                      I32_MAX)
+    # ---- per-unit sort of expanded rows by (k, sid, hit) ----
+    k_g = fk_flat[hf].reshape(Q, W)
+    key_a = jnp.where(row_valid, k_g, I32_MAX)
     key_b = jnp.where(row_valid, seqids, I32_MAX)
     key_c = jnp.where(row_valid, hit_of_row, I32_MAX)
-    key_a, key_b, key_c = lax.sort((key_a, key_b, key_c), num_keys=3)
+    key_a, key_b, key_c = lax.sort((key_a, key_b, key_c),
+                                   dimension=1, num_keys=3)
     s_valid = key_a != I32_MAX
-    s_hit = jnp.clip(key_c, 0, F - 1)
-    s_uid = key_a >> 1
+    s_hit = jnp.clip(key_c, 0, S - 1)
     s_sid = key_b
-    s_l = f_l[s_hit]
-    s_chain = chain_of_hit[s_hit]
+    sflat = (baseS + s_hit).reshape(-1)
+    s_l = fl_flat[sflat].reshape(Q, W)
+    s_chain = chain_of_hit.reshape(-1)[sflat].reshape(Q, W)
 
-    # segment boundaries in sorted order (chain monotone in hit index, so
-    # within (uidk, sid) groups chains are contiguous)
-    ch_a = _changed(key_a)
-    ch_b = _changed(key_b)
-    ch_c = _changed(key_c)
+    # segment boundaries in sorted row order (chain monotone in hit index, so
+    # within (k, sid) groups chains are contiguous)
+    ch_a = _row_changed(key_a)
+    ch_b = _row_changed(key_b)
+    ch_c = _row_changed(key_c)
     pair_first = (ch_a | ch_b | ch_c) & s_valid   # unique (hit, seqid)
-    cb = (ch_a | ch_b | _changed(s_chain)) & s_valid  # chain segment start
-    rb = (ch_a | ch_b) & s_valid                       # record segment start
-    ub = _changed(s_uid) & s_valid                     # unit segment start
+    cb = (ch_a | ch_b | _row_changed(s_chain)) & s_valid  # chain segment start
+    rb = (ch_a | ch_b) & s_valid                          # record segment start
 
     # ---- chain sums -> chain scores -> record score/hitlen ----
     w_l = jnp.where(pair_first, s_l, 0)
-    p1 = jnp.cumsum(w_l)
-    cstart = _seg_start_index(cb | (~s_valid))
-    p1_before = jnp.where(cstart > 0, p1[jnp.maximum(cstart - 1, 0)], 0)
-    last_of_chain = jnp.concatenate([cb[1:] | (~s_valid[1:]), jnp.ones(1, bool)]) \
-        & s_valid
-    chain_lsum = p1 - p1_before                        # full sum at chain-last
+    onecol = jnp.ones((Q, 1), bool)
+    last_of_chain = jnp.concatenate(
+        [cb[:, 1:] | (~s_valid[:, 1:]), onecol], axis=1) & s_valid
+    chain_lsum = _row_seg_cumsum(w_l, cb | (~s_valid))
     chain_score = jnp.where(last_of_chain & (chain_lsum >= mhl),
                             (chain_lsum - adj) ** 2, 0)
+    last_of_rec = jnp.concatenate(
+        [rb[:, 1:] | (~s_valid[:, 1:]), onecol], axis=1) & s_valid
+    rec_sum = _row_seg_cumsum(chain_score, rb | (~s_valid))
+    rec_score = jnp.where(last_of_rec, rec_sum, -1)
+    rec_hitlen = _row_seg_cumsum(w_l, rb | (~s_valid))  # meaningful at rec-last
 
-    p2 = jnp.cumsum(chain_score)
-    rstart = _seg_start_index(rb | (~s_valid))
-    p2_before = jnp.where(rstart > 0, p2[jnp.maximum(rstart - 1, 0)], 0)
-    p1r_before = jnp.where(rstart > 0, p1[jnp.maximum(rstart - 1, 0)], 0)
-    last_of_rec = jnp.concatenate([rb[1:] | (~s_valid[1:]), jnp.ones(1, bool)]) \
-        & s_valid
-    rec_score = jnp.where(last_of_rec, p2 - p2_before, -1)
-    rec_hitlen = p1 - p1r_before                       # meaningful at rec-last
-
-    # ---- per-unit best / second / bestlen ----
-    useg = ub | (~s_valid)
-    uend = _seg_end_index(useg)
-    best_prefix = _seg_cummax(rec_score, useg)
-    unit_best = best_prefix[uend]                      # broadcast to rows
-    qual = last_of_rec & (rec_score == unit_best)
-    nbest_prefix = _seg_cumsum(qual.astype(jnp.int32), useg)
-    unit_nbest = nbest_prefix[uend]
-    qual_rank = nbest_prefix                           # inclusive rank at quals
-    rest = jnp.where(last_of_rec & (rec_score < unit_best), rec_score, 0)
-    rest_prefix = _seg_cummax(rest, useg)
-    unit_rest = rest_prefix[uend]
-    unit_second = jnp.where(unit_nbest >= 2, unit_best,
-                            jnp.maximum(unit_rest, 0))
-
-    # scatter per-unit scalars (masked at unit-last rows)
-    is_ulast = (jnp.arange(R, dtype=jnp.int32) == uend) & s_valid
-    out_uid = jnp.where(is_ulast, s_uid, Q)            # Q = drop slot
-    score_out = jnp.zeros(Q + 1, jnp.int32).at[out_uid].max(
-        jnp.where(is_ulast, jnp.maximum(unit_best, 0), 0))
-    second_out = jnp.zeros(Q + 1, jnp.int32).at[out_uid].max(
-        jnp.where(is_ulast, unit_second, 0))
-    nbest_out = jnp.zeros(Q + 1, jnp.int32).at[out_uid].max(
-        jnp.where(is_ulast, unit_nbest, 0))
-    # hitlen of the FIRST best record (k asc, sid asc iteration order)
+    # ---- per-unit best / second / bestlen (plain axis-1 reductions) ----
+    unit_best = jnp.max(rec_score, axis=1)                # [Q]; -1 if no recs
+    qual = last_of_rec & (rec_score == unit_best[:, None])
+    unit_nbest = jnp.sum(qual.astype(jnp.int32), axis=1)
+    qual_rank = _row_cumsum(qual.astype(jnp.int32))       # inclusive at quals
     first_best = qual & (qual_rank == 1)
-    hl_uid = jnp.where(first_best, s_uid, Q)
-    hitlen_out = jnp.zeros(Q + 1, jnp.int32).at[hl_uid].max(
-        jnp.where(first_best, rec_hitlen, 0))
+    hitlen_out = jnp.max(jnp.where(first_best, rec_hitlen, 0), axis=1)
+    rest = jnp.where(last_of_rec & (rec_score < unit_best[:, None]),
+                     rec_score, 0)
+    unit_rest = jnp.max(rest, axis=1)
+    score_out = jnp.maximum(unit_best, 0)
+    second_out = jnp.where(unit_nbest >= 2, score_out,
+                           jnp.maximum(unit_rest, 0))
 
     # ---- best seqids: dedup by sid (first k wins), order (k asc, sid asc) ----
-    # sort best-record candidates by (uid, sid, k) to find duplicates
-    d_a = jnp.where(qual, s_uid, I32_MAX)
+    # sort best-record candidates by (sid, k) within the unit row to find dups
     d_b = jnp.where(qual, s_sid, I32_MAX)
     d_c = jnp.where(qual, key_a & 1, I32_MAX)
-    d_a, d_b, d_c = lax.sort((d_a, d_b, d_c), num_keys=3)
-    d_valid = d_a != I32_MAX
-    dup = d_valid & (~(_changed(d_a) | _changed(d_b)))  # same (uid,sid) again
-    n_dup = jnp.zeros(Q + 1, jnp.int32).at[
-        jnp.where(d_valid, d_a, Q)].add(dup.astype(jnp.int32))
-    # emit list: resort deduped candidates by (uid, k, sid)
-    e_a = jnp.where(d_valid & (~dup), d_a, I32_MAX)
-    e_b = jnp.where(d_valid & (~dup), d_c, I32_MAX)    # k
-    e_c = jnp.where(d_valid & (~dup), d_b, I32_MAX)    # sid
-    e_a, e_b, e_c = lax.sort((e_a, e_b, e_c), num_keys=3)
-    e_valid = e_a != I32_MAX
-    erank = _seg_cumsum(e_valid.astype(jnp.int32),
-                        _changed(e_a) | (~e_valid)) - 1
-    sid_slot = jnp.where(e_valid & (erank < k_out), erank, k_out)
-    sid_uidx = jnp.where(e_valid & (erank < k_out), e_a, Q)
-    sids_out = jnp.full((Q + 1, k_out + 1), 0, jnp.int32).at[
-        sid_uidx, sid_slot].set(jnp.where(e_valid, e_c, 0))
+    d_b, d_c = lax.sort((d_b, d_c), dimension=1, num_keys=2)
+    d_valid = d_b != I32_MAX
+    dup = d_valid & (~_row_changed(d_b))            # same (unit, sid) again
+    n_dup = jnp.sum(dup.astype(jnp.int32), axis=1)
+    # emit list: resort deduped candidates by (k, sid); invalid keys sort to
+    # the row tail, so after the sort the column index IS the emit rank
+    e_b = jnp.where(d_valid & (~dup), d_c, I32_MAX)       # k
+    e_c = jnp.where(d_valid & (~dup), d_b, I32_MAX)       # sid
+    e_b, e_c = lax.sort((e_b, e_c), dimension=1, num_keys=2)
+    e_valid = e_b != I32_MAX
+    kw = min(k_out, W)
+    sids_out = jnp.zeros((Q, k_out), jnp.int32).at[:, :kw].set(
+        jnp.where(e_valid[:, :kw], e_c[:, :kw], 0))
 
-    nbest_dedup = nbest_out[:Q] - n_dup[:Q]
+    nbest_dedup = unit_nbest - n_dup
 
     flags = (needs_adjust.astype(jnp.int32) * FLAG_ADJUST
              | overflow.astype(jnp.int32) * FLAG_ROW_OVERFLOW)
 
     packed = jnp.concatenate([
-        score_out[:Q, None], second_out[:Q, None], hitlen_out[:Q, None],
-        nbest_dedup[:, None], flags[:, None], sids_out[:Q, :k_out]], axis=1)
+        score_out[:, None], second_out[:, None], hitlen_out[:, None],
+        nbest_dedup[:, None], flags[:, None], sids_out], axis=1)
 
     hits_packed = jnp.stack([hsp.astype(jnp.int32), hep.astype(jnp.int32),
                              hlv.astype(jnp.int32), hoff.astype(jnp.int32)],

@@ -26,6 +26,11 @@ class ClassifierFused(ClassifierJax):
     def __init__(self, fm, taxonomy, param, protein=False):
         super().__init__(fm, taxonomy, param, protein=protein)
         self.stats["fallback_units"] = 0
+        # When set, batches of <= bucket_q units are padded to bucket_q lanes
+        # so a short tail batch reuses the main batch's compiled program
+        # instead of forcing a second full XLA compile (warmup halver).
+        self.bucket_q = None
+        self._sid_prefix = None
 
     def _fused_ok(self):
         return (not self.protein and self.dev.fast
@@ -39,7 +44,10 @@ class ClassifierFused(ClassifierJax):
         """queries -> (reads [U, L] uint8, lengths [U] int32, nr, Q0)."""
         Q0 = len(queries)
         nr = 2 if any(q[1] is not None for q in queries) else 1
-        Q = max(_next_pow2(Q0), 1024)
+        if self.bucket_q and Q0 <= self.bucket_q:
+            Q = self.bucket_q
+        else:
+            Q = max(_next_pow2(Q0), 1024)
         U = Q * nr
         maxlen = 1
         for r1, r2 in queries:
@@ -223,49 +231,73 @@ class ClassifierFused(ClassifierJax):
             c = pend.popleft()
             yield self.finish_packed(c) + (c["queries"],)
 
+    def _tsv_tables(self):
+        """Per-seqid precomputed TSV fragment "\\t<name>\\t<taxid>\\t" so the
+        common one-match row is two string joins (vectorized formatter)."""
+        if self._sid_prefix is None:
+            tax = self.tax
+            names = tax.seq_names
+            self._sid_prefix = [
+                "\t%s\t%d\t" % (names[s],
+                                tax.orig_tax_id(tax.seq_id_to_tax_id(s)))
+                for s in range(len(names))]
+        return self._sid_prefix
+
     def format_tsv_batch(self, packed, fb, queries, read_ids):
         """TSV rows for the default column set (no barcode/UMI/expanded),
         byte-identical to ResultWriter.output over materialized results.
-        Returns (lines list, classified_count)."""
+        Returns (lines list, classified_count).  Columnar fast path: the
+        packed device rows are pulled to Python lists once; the dominant
+        one-match case is a single string format per row."""
         tax = self.tax
         kmax = self.param.max_result
         lines = []
+        ap = lines.append
         ncls = 0
         if packed is None:
             packed = np.zeros((0, 5 + self.K_OUT), np.int32)
         n_dev = len(packed)
+        sid_prefix = self._tsv_tables()
+        nb_l = packed[:, 3].tolist()
+        sc_l = packed[:, 0].tolist()
+        se_l = packed[:, 1].tolist()
+        hl_l = packed[:, 2].tolist()
+        s1_l = packed[:, 5].tolist()
+        check_fb = bool(fb) or n_dev < len(queries)
         for qi, (r1, r2) in enumerate(queries):
             rid = read_ids[qi]
-            if qi >= n_dev or qi in fb:
+            if check_fb and (qi >= n_dev or qi in fb):
                 res = fb[qi]
                 qlen = res.query_length
                 m = len(res.tax_ids)
                 if m == 0:
-                    lines.append("%s\tunclassified\t0\t0\t0\t0\t%d\t1"
-                                 % (rid, qlen))
+                    ap("%s\tunclassified\t0\t0\t0\t0\t%d\t1" % (rid, qlen))
                     continue
                 ncls += 1
                 for i in range(m):
-                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
+                    ap("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
                         rid, res.seq_names[i], res.tax_ids[i], res.score,
                         res.secondary_score, res.hit_length, qlen, m))
                 continue
             qlen = len(r1) + (len(r2) if r2 is not None else 0)
-            nb = int(packed[qi, 3])
+            nb = nb_l[qi]
             if nb == 0:
-                lines.append("%s\tunclassified\t0\t0\t0\t0\t%d\t1" % (rid, qlen))
+                ap("%s\tunclassified\t0\t0\t0\t0\t%d\t1" % (rid, qlen))
                 continue
             ncls += 1
-            score = int(packed[qi, 0])
-            second = score if nb > 1 else int(packed[qi, 1])
-            hitlen = int(packed[qi, 2])
+            if nb == 1:
+                ap("%s%s%d\t%d\t%d\t%d\t1" % (
+                    rid, sid_prefix[s1_l[qi]], sc_l[qi], se_l[qi],
+                    hl_l[qi], qlen))
+                continue
+            score = sc_l[qi]
+            second = score  # nb > 1 -> second best equals best
+            hitlen = hl_l[qi]
             if nb <= kmax:
                 for j in range(nb):
                     sid = int(packed[qi, 5 + j])
-                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
-                        rid, tax.seq_id_to_name(sid),
-                        tax.orig_tax_id(tax.seq_id_to_tax_id(sid)),
-                        score, second, hitlen, qlen, nb))
+                    ap("%s%s%d\t%d\t%d\t%d\t%d" % (
+                        rid, sid_prefix[sid], score, second, hitlen, qlen, nb))
             else:
                 from ..taxonomy import rank_string
                 ctids = [tax.seq_id_to_tax_id(int(packed[qi, 5 + j]))
@@ -274,7 +306,7 @@ class ClassifierFused(ClassifierJax):
                                                  want_children=False)
                 m = len(promoted)
                 for t in promoted:
-                    lines.append("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
+                    ap("%s\t%s\t%d\t%d\t%d\t%d\t%d\t%d" % (
                         rid, rank_string(tax.tax_rank(t)), tax.orig_tax_id(t),
                         score, second, hitlen, qlen, m))
         return lines, ncls

@@ -2,6 +2,7 @@
 reference CentrifugerClass.cpp:20-64)."""
 
 import argparse
+import os
 import sys
 import time
 
@@ -251,9 +252,6 @@ def main(argv=None):
             batch_q.put(batch)
         batch_q.put(None)
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
-
     def batches():
         while True:
             b = batch_q.get()
@@ -269,33 +267,103 @@ def main(argv=None):
                 and not has_barcode and not has_umi and not args.expand_taxid
                 and not args.un_prefix and not args.cl_prefix
                 and not sample_outputs)
-    if fast_tsv:
-        # array-level fast path: packed device results -> TSV lines directly,
-        # skipping per-read result objects entirely
-        pending = []
+    if fast_tsv and hasattr(classifier, "bucket_q"):
+        # pad short tail batches to the main bucket so every batch reuses ONE
+        # compiled program (a second shape bucket costs a full XLA compile)
+        classifier.bucket_q = batch_size
+    bulk_fastq = (fast_tsv and not has_mate and not args.sample_sheet
+                  and formatter is None and merger is None
+                  and _all_plain_fastq(reads.file_names))
+    if bulk_fastq:
+        # array-level input AND output: bulk chunked FASTQ parse (reader
+        # thread) -> packed device results -> TSV lines, no per-read objects
+        from ..io.fastq_fast import iter_fastq_batches
+
+        bq2 = _queue.Queue(maxsize=4)
+
+        def bulk_producer():
+            try:
+                for path in reads.file_names:
+                    for item in iter_fastq_batches(path, batch_size):
+                        bq2.put(item)
+                bq2.put(None)
+            except Exception as e:     # e.g. multi-line FASTQ -> surface it
+                bq2.put(e)
+
+        tb = threading.Thread(target=bulk_producer, daemon=True)
+        tb.start()
+        idq = []
+
+        def bulk_batches():
+            while True:
+                item = bq2.get()
+                if item is None:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                idq.append(item[0])
+                yield item[1]
+
+        bi = 0
         for packed, fb, queries in classifier.query_pipelined_packed(
-                _batch_queries(b, merger) for b in _tee_batches(pending, batches())):
-            batch = pending.pop(0)
-            rids = [r1.id for r1, _, _, _ in batch]
-            lines, ncls = classifier.format_tsv_batch(packed, fb, queries, rids)
+                bulk_batches()):
+            lines, ncls = classifier.format_tsv_batch(
+                packed, fb, queries, idq[bi])
+            bi += 1
             if lines:
                 writer.fp.write("\n".join(lines) + "\n")
-            writer.total_cnt += len(batch)
+            writer.total_cnt += len(queries)
             writer.classified_cnt += ncls
-    elif hasattr(classifier, "query_pipelined"):
-        pending = []
-        for results in classifier.query_pipelined(
-                _batch_queries(b, merger) for b in _tee_batches(pending, batches())):
-            batch = pending.pop(0)
-            _write_batch(batch, results, writer)
+        tb.join()
     else:
-        for batch in batches():
-            _process_batch(batch, classifier, writer, merger, has_mate)
-    t.join()
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        if fast_tsv:
+            # array-level fast path: packed device results -> TSV lines
+            # directly, skipping per-read result objects entirely
+            pending = []
+            for packed, fb, queries in classifier.query_pipelined_packed(
+                    _batch_queries(b, merger)
+                    for b in _tee_batches(pending, batches())):
+                batch = pending.pop(0)
+                rids = [r1.id for r1, _, _, _ in batch]
+                lines, ncls = classifier.format_tsv_batch(packed, fb, queries, rids)
+                if lines:
+                    writer.fp.write("\n".join(lines) + "\n")
+                writer.total_cnt += len(batch)
+                writer.classified_cnt += ncls
+        elif hasattr(classifier, "query_pipelined"):
+            pending = []
+            for results in classifier.query_pipelined(
+                    _batch_queries(b, merger)
+                    for b in _tee_batches(pending, batches())):
+                batch = pending.pop(0)
+                _write_batch(batch, results, writer)
+        else:
+            for batch in batches():
+                _process_batch(batch, classifier, writer, merger, has_mate)
+        t.join()
 
     writer.finalize()
     log("Centrifuger(tpu) finishes.")
     return 0
+
+
+def _all_plain_fastq(paths):
+    """True when every input is a regular FASTQ file (plain or gzip) the bulk
+    chunk parser can handle (first byte '@'; stdin excluded)."""
+    import gzip as _gzip
+    for p in paths:
+        if p == "-" or not os.path.isfile(p):
+            return False
+        try:
+            op = _gzip.open if p.endswith(".gz") else open
+            with op(p, "rb") as f:
+                if f.read(1) != b"@":
+                    return False
+        except OSError:
+            return False
+    return True
 
 
 def _tee_batches(pending, it):

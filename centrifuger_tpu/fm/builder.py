@@ -291,9 +291,11 @@ def build_fm_streaming(codes, genome_lens, genome_seqids, alphabet, params,
         fixed = 2 * n + dc_bytes + ftab_bytes + (256 << 20)
         usable = build_mem - fixed
         if usable < (1 << 22) * threads * 24:
+            # dc_bytes ~ (2r-1)/r^2 per char, so a LARGER --dcv shrinks the
+            # difference-cover sample footprint
             raise MemoryError(
                 "--build-mem %d too small: fixed state needs ~%d bytes; "
-                "increase the budget or reduce --dcv" % (build_mem, fixed))
+                "increase the budget or increase --dcv" % (build_mem, fixed))
         bmax = min(bmax, usable // (threads * 24))
         log("build-mem %d: using bmax=%d (fixed state ~%d)"
             % (build_mem, bmax, fixed))
@@ -313,25 +315,45 @@ def build_fm_streaming(codes, genome_lens, genome_seqids, alphabet, params,
     acc = _StreamAccum(codes, sigma, params, sel_pos)
     cs = ChunkedSA(codes, sigma, dcv=dcv, bmax=bmax, threads=threads,
                    checkpoint_prefix=checkpoint_prefix, log=log)
+    # rowmap accelerator: the chunk pass visits SA rows in order, so the full
+    # SA can be captured on the fly when the +12 bytes/char fits the budget
+    want_rowmap = bool(getattr(params, "row_map", False)) and n < (1 << 31)
+    if want_rowmap and build_mem and (build_mem - 2 * n - (256 << 20)) < 12 * n:
+        log("note: --row-map skipped: the full SA capture (~%d bytes) does "
+            "not fit --build-mem" % (12 * n))
+        want_rowmap = False
     start_chunk = 0
     st_path = (checkpoint_prefix + "_checkpoint_state.npz") \
         if checkpoint_prefix else None
     if st_path and os.path.exists(st_path):
         z = np.load(st_path, allow_pickle=False)
-        if int(z["n"]) == n:
+        # digest guard: same-length-but-different input must NOT resume from
+        # stale accumulated BWT state (mirrors the SA-IS checkpoint guard)
+        if int(z["n"]) == n and ("digest" not in z.files
+                                 or str(z["digest"]) == cs.digest):
             acc.load_state(z)
             start_chunk = int(z["next_chunk"])
             log("resuming build at chunk %d" % start_chunk)
+        else:
+            log("checkpoint state does not match input; starting fresh")
+    if want_rowmap and start_chunk > 0:
+        log("note: --row-map skipped on checkpoint resume (earlier SA chunks "
+            "were not captured)")
+        want_rowmap = False
+    sa_full = np.empty(n, np.int64) if want_rowmap else None
 
     done = 0
     last_ckpt = start_chunk
     for ci, row0, part in cs.iter_chunks(start_chunk):
         acc.add(row0, part)
+        if sa_full is not None:
+            sa_full[row0:row0 + len(part)] = part
         done = ci + 1
         if st_path and cs.n_chunks >= 10 and \
                 (done - last_ckpt) >= max(cs.n_chunks // 10, 1):
             st = acc.state()
-            np.savez(st_path + ".tmp.npz", n=n, next_chunk=done, **st)
+            np.savez(st_path + ".tmp.npz", n=n, next_chunk=done,
+                     digest=cs.digest, **st)
             os.replace(st_path + ".tmp.npz", st_path)
             last_ckpt = done
             log("checkpoint at chunk %d/%d" % (done, cs.n_chunks))
@@ -385,4 +407,6 @@ def build_fm_streaming(codes, genome_lens, genome_seqids, alphabet, params,
     idx.selected_vals = selected_vals
     idx.end_marker_sa = end_marker_sa
     idx.bwt = RunBlockSeq.from_codes(acc.bwt, sigma, b=params.rbbwt_b)
+    if sa_full is not None:
+        idx.rowmap = compute_rowmap(idx, sa_full)
     return idx

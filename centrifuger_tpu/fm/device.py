@@ -18,12 +18,35 @@ Layout notes (TPU-first):
 """
 
 import copy
+import os
 from functools import partial
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _configure_compilation_cache():
+    """Enable the persistent XLA compilation cache.
+
+    This jax build does NOT honor the JAX_COMPILATION_CACHE_DIR environment
+    variable (config.compilation_cache_dir stays None); it must be set via
+    jax.config.update.  Without it every process pays the full multi-minute
+    TPU compile of the fused classification program."""
+    if jax.config.jax_compilation_cache_dir:
+        return
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
+        os.path.join(os.path.expanduser("~"), ".cache", "centrifuger_tpu", "xla")
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_configure_compilation_cache()
 
 from .index import FMIndexData
 from ..succinct.packed import OCC_BLOCK
@@ -195,8 +218,14 @@ class DeviceFM:
             self.end_marker_sa = jnp.asarray(fm.end_marker_sa.astype(idtype))
         else:
             self.end_marker_sa = None
-        # optional per-row LF-walk result: SA resolution as ONE gather
+        # optional per-row LF-walk result: SA resolution as ONE gather.
+        # The gather index is int32, so refuse (loudly) any rowmap over an
+        # index whose row ids could wrap.
         if getattr(fm, "rowmap", None) is not None:
+            if fm.n >= (1 << 31):
+                raise ValueError(
+                    "rowmap accelerator unsupported for n >= 2^31 (row ids "
+                    "would wrap int32); rebuild with --no-row-map")
             self.rowmap = jnp.asarray(fm.rowmap.astype(jnp.int32))
         else:
             self.rowmap = None
@@ -582,32 +611,37 @@ class DeviceFM:
 
     def _precompute_read_tables(self, codes):
         """codes: [B, L] uint8 (255 = invalid). Returns (kfull [B, L+1],
-        tailvalid [B, L+1]) where index p refers to the prefix of length p."""
+        tailvalid [B, L+1]) where index p refers to the prefix of length p.
+
+        tailvalid is SATURATED at pw — its only consumers compare against pw
+        or read values < pw.  Both tables are built from static slices and an
+        O(pw) windowed select chain, deliberately avoiding any cumulative
+        scan: an associative_scan/cummax output elementwise-combined with a
+        large-table gather result sends XLA:TPU's fusion pass into a ~220s
+        compile (measured, tools/bisect_compile4.py); this form compiles in
+        seconds and runs identically fast."""
         B, L = codes.shape
         valid = codes != 255
-        # last invalid position at or before p-1 (cummax of masked indices)
-        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
-        inv_pos = jnp.where(~valid, pos, -1)
-        last_inv = lax.associative_scan(jnp.maximum, inv_pos, axis=1)
-        # tailvalid[p] = (p-1) - last_inv[p-1]
-        tailvalid = jnp.concatenate(
-            [jnp.zeros((B, 1), jnp.int32),
-             pos - last_inv], axis=1)
-        # kmer ending at p: sum codes[p-pw+j] << (bits*j)
         bits = self.code_bits
         pw = self.pw
-        cc = jnp.where(valid, codes, 0).astype(jnp.int64 if bits * pw > 31 else jnp.int32)
-        kdt = cc.dtype
-        k = jnp.zeros((B, L + 1), dtype=kdt)
-        # kfull[p] needs codes[p-pw .. p-1]
-        for j in range(pw):
-            # codes[p-pw+j] contributes at shift bits*j; position index = p-pw+j
-            shifted = jnp.zeros((B, L + 1), dtype=kdt)
-            src = cc << (bits * j)
-            # target p ranges over [pw - j, L]: p - pw + j in [0, L-pw+j]
-            shifted = shifted.at[:, pw - j:].set(src[:, :L - pw + j + 1])
-            k = k + shifted
-        return k, tailvalid
+        # tailvalid[p] = length of the valid run ending at p-1, capped at pw
+        vpad = jnp.concatenate([jnp.zeros((B, pw), bool), valid], axis=1)
+        tailvalid = jnp.zeros((B, L + 1), jnp.int32)
+        for j in range(1, pw + 1):
+            vj = vpad[:, pw - j:pw - j + L + 1]
+            tailvalid = jnp.where(vj & (tailvalid == j - 1), j, tailvalid)
+        # kmer ending at p: sum codes[p-pw+j] << (bits*j); meaningful only
+        # for p >= pw (callers gate on posidx >= pw / ms >= pw)
+        kdt = jnp.int64 if bits * pw > 31 else jnp.int32
+        if L >= pw:
+            cc = jnp.where(valid, codes, 0).astype(kdt)
+            core = cc[:, 0:L - pw + 1] << 0
+            for j in range(1, pw):
+                core = core + (cc[:, j:L - pw + j + 1] << (bits * j))
+            kfull = jnp.concatenate([jnp.zeros((B, pw), kdt), core], axis=1)
+        else:
+            kfull = jnp.zeros((B, L + 1), kdt)
+        return kfull, tailvalid
 
     def chain_search(self, codes, lengths, min_hit_len, max_hits):
         """Full semi-maximal hit chains for a batch of reads.

@@ -45,6 +45,11 @@ class ChunkedSA:
         self.dcv = int(dcv)
         self.ckpt = checkpoint_prefix
         self.log = log or (lambda m: None)
+        # content digest guards checkpoint resume against a changed input
+        # genome of the same length (same guard as the SA-IS build path)
+        import hashlib
+        self.digest = hashlib.sha256(self.codes.tobytes()).hexdigest()[:16] \
+            if self.ckpt else None
         if kprefix is None:
             # counters table <= 2^24 entries (128 MB of int64) and <= ~4n
             kprefix = max(1, min(24 // self.bits, 12))
@@ -100,7 +105,7 @@ class ChunkedSA:
         os.replace(dp + ".tmp.npy", dp)
         with open(jp + ".tmp", "w") as f:
             json.dump({"phase": "dc_done", "n": self.n, "dcv": self.dcv,
-                       "k": self.k}, f)
+                       "k": self.k, "digest": self.digest}, f)
         os.replace(jp + ".tmp", jp)
 
     def _try_load_dc(self):
@@ -111,7 +116,8 @@ class ChunkedSA:
             return False
         with open(jp) as f:
             meta = json.load(f)
-        if meta.get("n") != self.n or meta.get("dcv") != self.dcv:
+        if meta.get("n") != self.n or meta.get("dcv") != self.dcv \
+                or meta.get("digest") != self.digest:
             return False
         buf = np.load(dp)
         self.lib.sac_dc_load(self.h, buf.ctypes.data_as(

@@ -49,14 +49,27 @@ def parse_fastx(stream):
         if not line:
             line = stream.readline()
             continue
-        if line.startswith(b"@"):  # fastq
+        if line.startswith(b"@"):  # fastq (sequence/quality may span lines, kseq.h)
             header = line[1:].decode()
             parts = header.split(None, 1)
             rid = _strip_pair_suffix(parts[0]) if parts else ""
             comment = parts[1] if len(parts) > 1 else None
-            seq = stream.readline().strip().decode()
-            stream.readline()  # +
-            qual = stream.readline().strip().decode()
+            chunks = []
+            line = stream.readline()
+            while line and not line.startswith(b"+"):
+                chunks.append(line.strip().decode())
+                line = stream.readline()
+            seq = "".join(chunks)
+            qchunks = []
+            qlen = 0
+            while qlen < len(seq):   # quality: read until it covers the sequence
+                line = stream.readline()
+                if not line:
+                    break
+                s = line.rstrip(b"\n").rstrip(b"\r").decode()
+                qchunks.append(s)
+                qlen += len(s)
+            qual = "".join(qchunks)
             yield Read(rid, comment, seq, qual)
             line = stream.readline()
         elif line.startswith(b">"):  # fasta (possibly multi-line)
