@@ -192,7 +192,8 @@ def measure_ours(prefix):
             bq.put(item)
         bq.put(None)
 
-    idq = []
+    from collections import deque
+    idq = deque()  # read-id lists in flight; popped per finished batch
 
     def qbatches():
         while True:
@@ -210,10 +211,8 @@ def measure_ours(prefix):
     with open(out_path, "w") as outf:
         outf.write("readID\tseqID\ttaxID\tscore\t2ndBestScore\thitLength\t"
                    "queryLength\tnumMatches\n")
-        bi = 0
         for packed, fb, queries in cl.query_pipelined_packed(qbatches()):
-            lines, nc = cl.format_tsv_batch(packed, fb, queries, idq[bi])
-            bi += 1
+            lines, nc = cl.format_tsv_batch(packed, fb, queries, idq.popleft())
             outf.write("\n".join(lines))
             outf.write("\n")
             nclass += nc

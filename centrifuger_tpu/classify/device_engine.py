@@ -184,31 +184,42 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     take_plus = sc_plus >= sc_minus
     take_minus = sc_minus >= sc_plus
     # slot order matches the host finalizer: plus lanes (f1, r2) then minus
-    # lanes (r1, f2); k per slot: +1 +1 -1 -1 -> k = 1 1 0 0
-    slot_lane = jnp.stack([
-        jnp.where(take_plus, f1, -1),
-        jnp.where(take_plus, r2, -1),
-        jnp.where(take_minus, r1, -1),
-        jnp.where(take_minus, f2, -1)], axis=1)          # [Q, 4]
+    # lanes (r1, f2); k per slot: +1 +1 -1 -1 -> k = 1 1 0 0.  Single-end
+    # units have no mate lanes, so only 2 slots (f1, r1; k = 1 0) — this
+    # halves every [Q, S] table below.
+    if nr == 2:
+        slot_lane = jnp.stack([
+            jnp.where(take_plus, f1, -1),
+            jnp.where(take_plus, r2, -1),
+            jnp.where(take_minus, r1, -1),
+            jnp.where(take_minus, f2, -1)], axis=1)      # [Q, 4]
+        k_pattern = jnp.array([1, 1, 0, 0], jnp.int32)
+    else:
+        slot_lane = jnp.stack([
+            jnp.where(take_plus, f1, -1),
+            jnp.where(take_minus, r1, -1)], axis=1)      # [Q, 2]
+        k_pattern = jnp.array([1, 0], jnp.int32)
+    NS = slot_lane.shape[1]
 
     # ---- per-unit hit table [Q, S] (slot-major, hit within slot) ----
-    S = 4 * H
-    lane_of_slot = slot_lane.reshape(-1)                  # [Q*4]
+    S = NS * H
+    lane_of_slot = slot_lane.reshape(-1)                  # [Q*NS]
     lane_safe = jnp.maximum(lane_of_slot, 0)
 
-    def slot_gather(a):
-        return a[lane_safe].reshape(Q, S).astype(jnp.int32)
-    f_sp = slot_gather(hsp)
-    f_ep = slot_gather(hep)
-    f_l = slot_gather(hlv)
-    f_off = slot_gather(hoff)
-    f_n = jnp.broadcast_to(nhits[lane_safe].reshape(Q, 4)[:, :, None],
-                           (Q, 4, H)).reshape(Q, S)
-    hit_pos = jnp.tile(jnp.arange(H, dtype=jnp.int32), (4,))[None, :]
+    # ONE gather for all four hit fields (sp, ep, l, off): [Q*NS, H, 4]
+    hits4 = jnp.stack([hsp, hep, hlv, hoff], axis=2).astype(jnp.int32)
+    f_all = hits4[lane_safe].reshape(Q, NS, H, 4)
+    f_sp = f_all[:, :, :, 0].reshape(Q, S)
+    f_ep = f_all[:, :, :, 1].reshape(Q, S)
+    f_l = f_all[:, :, :, 2].reshape(Q, S)
+    f_off = f_all[:, :, :, 3].reshape(Q, S)
+    f_n = jnp.broadcast_to(nhits[lane_safe].reshape(Q, NS)[:, :, None],
+                           (Q, NS, H)).reshape(Q, S)
+    hit_pos = jnp.tile(jnp.arange(H, dtype=jnp.int32), (NS,))[None, :]
     present = (jnp.broadcast_to(slot_lane[:, :, None] >= 0,
-                                (Q, 4, H)).reshape(Q, S)) & (hit_pos < f_n)
-    f_k = jnp.broadcast_to(jnp.array([1, 1, 0, 0], jnp.int32)[None, :, None],
-                           (Q, 4, H)).reshape(Q, S)
+                                (Q, NS, H)).reshape(Q, S)) & (hit_pos < f_n)
+    f_k = jnp.broadcast_to(k_pattern[None, :, None],
+                           (Q, NS, H)).reshape(Q, S)
 
     # previous present hit within the unit (for mix/merge adjacency)
     colS = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (Q, S))
@@ -218,15 +229,7 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     prev_safe = jnp.maximum(prev_idx, 0)
 
     baseS = (rowQ * S)[:, None]                           # [Q, 1]
-    fk_flat = f_k.reshape(-1)
-    fl_flat = f_l.reshape(-1)
-    foff_flat = f_off.reshape(-1)
     prev_flat = (baseS + prev_safe).reshape(-1)
-    f_k_prev = fk_flat[prev_flat].reshape(Q, S)
-
-    # mixStrand per unit (over the full present-hit list, Classifier.hpp:584-591)
-    mix_flag = has_prev & (f_k != f_k_prev)
-    mix = jnp.any(mix_flag, axis=1)                       # [Q]
 
     # ---- row expansion with striding (Classifier.hpp:606-652) ----
     rng = f_ep - f_sp + 1
@@ -254,12 +257,17 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
                   axis=2)                                 # [Q, W]
     hit_of_row = jnp.clip(hiu, 0, S - 1)
     hf = (baseS + hit_of_row).reshape(-1)                 # flat [Q*W] into [Q*S]
-    r_sp = f_sp.reshape(-1)[hf].reshape(Q, W)
-    r_ep = f_ep.reshape(-1)[hf].reshape(Q, W)
-    r_step = step.reshape(-1)[hf].reshape(Q, W)
-    r_cf = cnt_fwd.reshape(-1)[hf].reshape(Q, W)
-    r_simple = simple.reshape(-1)[hf].reshape(Q, W)
-    pos = colW - starts_in.reshape(-1)[hf].reshape(Q, W)
+    # ONE gather for all per-hit fields consumed per expanded row
+    hrow7 = jnp.stack([f_sp, f_ep, step, cnt_fwd,
+                       simple.astype(jnp.int32), starts_in, f_k],
+                      axis=2).reshape(Q * S, 7)
+    r_all = hrow7[hf].reshape(Q, W, 7)
+    r_sp = r_all[:, :, 0]
+    r_ep = r_all[:, :, 1]
+    r_step = r_all[:, :, 2]
+    r_cf = r_all[:, :, 3]
+    r_simple = r_all[:, :, 4] != 0
+    pos = colW - r_all[:, :, 5]
     rows = jnp.where(r_simple, r_sp + pos,
                      jnp.where(pos < r_cf, r_sp + pos * r_step,
                                r_ep - (pos - r_cf) * r_step))
@@ -275,10 +283,19 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     sid_uniq = seqids.reshape(-1)[
         (baseW + jnp.clip(starts_in, 0, W - 1)).reshape(-1)].reshape(Q, S)
     uniq_hit = live & (rng == 1)
-    uniq_prev = uniq_hit.reshape(-1)[prev_flat].reshape(Q, S)
-    foff_prev = foff_flat[prev_flat].reshape(Q, S)
-    fl_prev = fl_flat[prev_flat].reshape(Q, S)
-    sid_uniq_prev = sid_uniq.reshape(-1)[prev_flat].reshape(Q, S)
+    # ONE gather for all previous-hit fields (k, off, l, uniq, sid)
+    prow5 = jnp.stack([f_k, f_off, f_l, uniq_hit.astype(jnp.int32), sid_uniq],
+                      axis=2).reshape(Q * S, 5)
+    p_all = prow5[prev_flat].reshape(Q, S, 5)
+    f_k_prev = p_all[:, :, 0]
+    foff_prev = p_all[:, :, 1]
+    fl_prev = p_all[:, :, 2]
+    uniq_prev = p_all[:, :, 3] != 0
+    sid_uniq_prev = p_all[:, :, 4]
+
+    # mixStrand per unit (over the full present-hit list, Classifier.hpp:584-591)
+    mix_flag = has_prev & (f_k != f_k_prev)
+    mix = jnp.any(mix_flag, axis=1)                       # [Q]
     merge_prev = (has_prev & (~mix[:, None])
                   & uniq_hit & uniq_prev
                   & (f_k == f_k_prev)
@@ -287,7 +304,7 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     chain_of_hit = _row_cumsum((present & (~merge_prev)).astype(jnp.int32))
 
     # ---- per-unit sort of expanded rows by (k, sid, hit) ----
-    k_g = fk_flat[hf].reshape(Q, W)
+    k_g = r_all[:, :, 6]
     key_a = jnp.where(row_valid, k_g, I32_MAX)
     key_b = jnp.where(row_valid, seqids, I32_MAX)
     key_c = jnp.where(row_valid, hit_of_row, I32_MAX)
@@ -297,8 +314,11 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     s_hit = jnp.clip(key_c, 0, S - 1)
     s_sid = key_b
     sflat = (baseS + s_hit).reshape(-1)
-    s_l = fl_flat[sflat].reshape(Q, W)
-    s_chain = chain_of_hit.reshape(-1)[sflat].reshape(Q, W)
+    # ONE gather for (l, chain) of the sorted rows
+    srow2 = jnp.stack([f_l, chain_of_hit], axis=2).reshape(Q * S, 2)
+    s_all = srow2[sflat].reshape(Q, W, 2)
+    s_l = s_all[:, :, 0]
+    s_chain = s_all[:, :, 1]
 
     # segment boundaries in sorted row order (chain monotone in hit index, so
     # within (k, sid) groups chains are contiguous)

@@ -19,8 +19,9 @@ from .device_engine import FLAG_ADJUST, FLAG_ROW_OVERFLOW
 
 
 class ClassifierFused(ClassifierJax):
-    K_OUT = 16       # best seqids returned per read by the device
-    U_CAP = 16       # per-read SA-row budget on device
+    K_OUT = 8        # best seqids returned per read by the device
+    U_CAP = 8        # per-read SA-row budget on device (a unit can surface at
+                     # most U_CAP distinct best seqids, so K_OUT = U_CAP)
     L_MAX = 8192     # max read length on the fused path (int32 score bound)
 
     def __init__(self, fm, taxonomy, param, protein=False):

@@ -292,7 +292,8 @@ def main(argv=None):
 
         tb = threading.Thread(target=bulk_producer, daemon=True)
         tb.start()
-        idq = []
+        from collections import deque
+        idq = deque()  # read-id lists in flight; popped per finished batch
 
         def bulk_batches():
             while True:
@@ -304,12 +305,10 @@ def main(argv=None):
                 idq.append(item[0])
                 yield item[1]
 
-        bi = 0
         for packed, fb, queries in classifier.query_pipelined_packed(
                 bulk_batches()):
             lines, ncls = classifier.format_tsv_batch(
-                packed, fb, queries, idq[bi])
-            bi += 1
+                packed, fb, queries, idq.popleft())
             if lines:
                 writer.fp.write("\n".join(lines) + "\n")
             writer.total_cnt += len(queries)

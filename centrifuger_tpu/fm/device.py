@@ -28,12 +28,15 @@ from jax import lax
 
 
 def _configure_compilation_cache():
-    """Enable the persistent XLA compilation cache.
+    """Enable the persistent XLA compilation cache (lazily, from
+    DeviceFM.__init__ — NOT at import time, so merely importing the package
+    never mutates global jax config for embedding applications).
 
     This jax build does NOT honor the JAX_COMPILATION_CACHE_DIR environment
     variable (config.compilation_cache_dir stays None); it must be set via
     jax.config.update.  Without it every process pays the full multi-minute
-    TPU compile of the fused classification program."""
+    TPU compile of the fused classification program.  Skipped when the user
+    already configured a cache dir themselves."""
     if jax.config.jax_compilation_cache_dir:
         return
     d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or \
@@ -41,12 +44,11 @@ def _configure_compilation_cache():
     try:
         os.makedirs(d, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", d)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if jax.config.jax_persistent_cache_min_compile_time_secs in (None, 1):
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
 
-
-_configure_compilation_cache()
 
 from .index import FMIndexData
 from ..succinct.packed import OCC_BLOCK
@@ -161,6 +163,7 @@ class DeviceFM:
     """Device mirror of FMIndexData with batched query kernels."""
 
     def __init__(self, fm: FMIndexData, serve_layout="plain"):
+        _configure_compilation_cache()
         self.fm = fm
         self.n = fm.n
         idtype = jnp.int32 if fm.n < (1 << 31) - 8 else jnp.int64
@@ -657,6 +660,140 @@ class DeviceFM:
         return f(self.arrs, codes, lengths)
 
     def _chain_search_impl(self, codes, lengths, mhl, H):
+        """Dispatch: the ftab-free loop is both faster (no per-batch ftab
+        gather tables, 1 tiny + 1 row gather per step) and simpler, but its
+        sub-`pw` consumption emulation assumes chains shorter than the ftab
+        width are never recorded as hits — true whenever mhl > pw."""
+        if mhl > self.pw:
+            return self._chain_search_noftab_impl(codes, lengths, mhl, H)
+        return self._chain_search_ftab_impl(codes, lengths, mhl, H)
+
+    # number of chain-loop body steps per while_loop iteration: amortizes the
+    # loop condition (a cross-lane any() reduction) over UNROLL extends.
+    # Keep small: every extra unrolled body copy inflates XLA:TPU compile
+    # time of the fused program substantially.
+    CHAIN_UNROLL = 2
+
+    def _chain_search_noftab_impl(self, codes, lengths, mhl, H):
+        """Semi-maximal hit chains WITHOUT the ftab accelerator.
+
+        Every chain starts from the full interval (0, n-1) and extends
+        char-by-char; by the FM-index invariant the interval after p valid
+        extends equals the ftab entry for that p-mer, so hits (l >= mhl > pw)
+        are bit-identical to the ftab path.  What the ftab path changes is
+        only how many characters a FAILED short chain consumes
+        (GetBackwardSearchInitialRange, reference FMIndex.hpp:388-422):
+          * invalid char at depth d            -> l = d        (both paths)
+          * interval empty at depth d <  pw    -> l = tailvalid if tailvalid
+            < pw else pw - 1                    (ftab failure semantics)
+          * interval empty at depth d >= pw    -> l = d
+          * chain start with rem < pw          -> l = 0
+        The tailvalid cases are handled WITHOUT a per-(lane, position) table:
+        when an interval empties at depth < pw the lane enters a SCAN mode
+        that keeps reading characters (no extends) until it sees an invalid
+        char (fin_l = depth == tailvalid) or reaches depth pw-1 with all
+        chars valid (fin_l = pw-1).  Interval-empty-below-pw is rare (absent
+        p-mers), so the extra scan iterations are noise, and the loop body
+        needs only ONE char gather ([B], small table) and ONE backward_extend
+        (a [2B] fused-row gather) per step — no per-(lane, position) ftab
+        tables at all, which removes ~4M gather descriptors per 16k-lane
+        batch relative to the ftab path.
+        """
+        B, L = codes.shape
+        it = self.idtype
+        pw = self.pw
+        codes_flat = codes.astype(jnp.int32).reshape(B * L)
+        lane_baseL = jnp.arange(B, dtype=jnp.int32) * L
+
+        lengths = lengths.astype(jnp.int32)
+        n_full = jnp.asarray(self.n - 1, it)
+        state = dict(
+            rem=lengths,
+            l=jnp.zeros(B, jnp.int32),
+            sp=jnp.zeros(B, it),
+            ep=jnp.broadcast_to(n_full, (B,)),
+            scan=jnp.zeros(B, bool),
+            nhits=jnp.zeros(B, jnp.int32),
+            hits=jnp.zeros((B, H, 4), it),
+        )
+        slots = jnp.arange(H, dtype=jnp.int32)[None, :]
+
+        def cond(st):
+            return self._loop_any(st["rem"] >= mhl)
+
+        def step(st):
+            rem = st["rem"]
+            l = st["l"]
+            active = rem >= mhl
+            in_scan = active & st["scan"]
+            in_ext = active & (~st["scan"])
+            # char at depth l (read position rem-1-l)
+            cpos = jnp.clip(rem - 1 - l, 0, L - 1)
+            c = codes_flat[lane_baseL + cpos]
+            c_invalid = c == 255
+            c_safe = jnp.where(c_invalid, 0, c)
+            nsp, nep = self.backward_extend(
+                jnp.where(in_ext, c_safe, 0),
+                jnp.where(in_ext, st["sp"], 0),
+                jnp.where(in_ext, st["ep"], jnp.ones_like(st["ep"])))
+
+            # ---- extend-mode outcomes ----
+            short_start = in_ext & (l == 0) & (rem < pw)
+            ext_fail = in_ext & (~short_start) & (c_invalid | (nsp > nep))
+            ext_ok = in_ext & (~short_start) & (~ext_fail)
+            new_l = l + 1
+            ext_done = ext_ok & (new_l >= rem)
+            # interval emptied below ftab depth (char itself valid): the ftab
+            # path would consume min(tailvalid, pw-1)+1 chars -> scan mode,
+            # starting validation at depth l+1 (chars 0..l already valid)
+            to_scan = ext_fail & (~c_invalid) & (l < pw) & (new_l < pw)
+            die_pw = ext_fail & (~c_invalid) & (l < pw) & (new_l >= pw)
+            ext_die = (ext_fail & ~(to_scan | die_pw)) | die_pw
+
+            # ---- scan-mode outcomes ----
+            scan_die_inval = in_scan & c_invalid                  # fin_l = l
+            scan_done = in_scan & (~c_invalid) & (new_l >= pw)    # fin_l=pw-1
+            scan_cont = in_scan & (~c_invalid) & (new_l < pw)
+
+            fin = short_start | ext_die | ext_done | scan_die_inval | scan_done
+            fin_l = jnp.where(ext_done, new_l, l)
+            fin_l = jnp.where(die_pw | scan_done, pw - 1, fin_l)
+            fin_l = jnp.where(short_start, 0, fin_l)
+            fin_sp = jnp.where(ext_done, nsp, st["sp"])
+            fin_ep = jnp.where(ext_done, nep, st["ep"])
+
+            st2 = dict(st)
+            cond_hit = fin & (fin_l >= mhl) & (fin_sp <= fin_ep) & \
+                (st["nhits"] < H)
+            sel = cond_hit[:, None] & (slots == st["nhits"][:, None])
+            new = jnp.stack([fin_sp.astype(it), fin_ep.astype(it),
+                             fin_l.astype(it),
+                             (lengths - rem).astype(it)], axis=-1)[:, None, :]
+            st2["hits"] = jnp.where(sel[:, :, None], new, st["hits"])
+            st2["nhits"] = st["nhits"] + cond_hit.astype(jnp.int32)
+
+            st2["sp"] = jnp.where(fin, jnp.zeros_like(nsp),
+                                  jnp.where(ext_ok, nsp, st["sp"]))
+            st2["ep"] = jnp.where(fin, jnp.broadcast_to(n_full, nep.shape),
+                                  jnp.where(ext_ok, nep, st["ep"]))
+            st2["l"] = jnp.where(fin, 0,
+                                 jnp.where(ext_ok | to_scan | scan_cont,
+                                           new_l, l))
+            st2["scan"] = (st["scan"] | to_scan) & (~fin)
+            st2["rem"] = jnp.where(fin, rem - (fin_l + 1), rem)
+            return st2
+
+        def body(st):
+            for _ in range(self.CHAIN_UNROLL):
+                st = step(st)
+            return st
+
+        st = lax.while_loop(cond, body, state)
+        h = st["hits"]
+        return dict(sp=h[:, :, 0], ep=h[:, :, 1], l=h[:, :, 2], off=h[:, :, 3],
+                    nhits=st["nhits"])
+
+    def _chain_search_ftab_impl(self, codes, lengths, mhl, H):
         B, L = codes.shape
         it = self.idtype
         pw = self.pw

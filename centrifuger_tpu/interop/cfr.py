@@ -120,11 +120,16 @@ def _read_wavelet(r):
         return np.zeros(0, dtype=np.uint8), alpha
 
     # vectorized decode: route element indices down the tree, assigning the
-    # accumulated code at leaves (mirrors Sequence_WaveletTree::Access)
+    # accumulated code at leaves (mirrors Sequence_WaveletTree::Access), then
+    # map (path code, length) back to the PLAIN symbol index via the stored
+    # alphabet code tables — required for Huffman-coded alphabets
+    # (Alphabet.hpp:74-91), where the path code need not equal the list index.
     out = np.zeros(n, dtype=np.uint8)
-    # alphabet decode table: code+len -> symbol-code in plain coder.  The BWT
-    # wavelet alphabet is the plain list, so code IS the plain code when
-    # method == PLAIN.
+    path_to_sym = {}
+    if alpha["n"]:
+        for i, ch in enumerate(alpha["list"]):
+            path_to_sym[(int(alpha["code"][ch]),
+                         int(alpha["codelen"][ch]))] = i
     stack = [(0, np.arange(n, dtype=np.int64), 0, 0)]  # (node, idx, code, depth)
     while stack:
         ti, idx, code, depth = stack.pop()
@@ -137,7 +142,7 @@ def _read_wavelet(r):
             if len(sel) == 0:
                 continue
             if child == -1:
-                out[sel] = ncode
+                out[sel] = path_to_sym.get((ncode, depth + 1), ncode)
             else:
                 stack.append((child, sel, ncode, depth + 1))
     return out, alpha
