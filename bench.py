@@ -238,14 +238,14 @@ def measure_ours(prefix):
     for _, queries in iter_fastq_batches(fq, BATCH_READS):
         packs.append(cl._pack_reads(queries)[:2])
     mhl = cl.param.min_hit_len
-    L = packs[0][0].shape[1]
+    L = packs[0][0][0].shape[1] * 4   # reads arrive 2-bit packed
     H = L // (mhl + 1) + 1
 
     def run_fused(reads, lengths):
         return cl.dev.fused_classify(reads, lengths, 1, mhl, H,
                                      cl.param.max_result,
                                      cl.param.max_result_per_hit_factor,
-                                     cl.K_OUT, reads.shape[0] * cl.U_CAP)
+                                     cl.K_OUT, reads[0].shape[0] * cl.U_CAP)
 
     out = run_fused(*packs[0])
     np.asarray(out["packed"])

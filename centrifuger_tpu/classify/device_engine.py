@@ -110,6 +110,19 @@ def _row_changed(a):
     return jnp.concatenate([jnp.ones((Q, 1), bool), d], axis=1)
 
 
+def _rc_lanes(code, lengths):
+    """code [U, L] int32 (255 invalid) -> (code, revcomp code) lanes; the
+    reverse complement comes from one flat gather."""
+    U, L = code.shape
+    idxr = lengths[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
+    ok = idxr >= 0
+    flat = code.reshape(-1)
+    g = flat[(jnp.arange(U, dtype=jnp.int32)[:, None] * L
+              + jnp.clip(idxr, 0, L - 1)).reshape(-1)].reshape(U, L)
+    rc = jnp.where(ok & (g != 255), 3 - g, 255)
+    return code, rc
+
+
 def encode_dna_device(reads, lengths):
     """reads: [U, L] uint8 raw bytes; -> (codes_fwd, codes_rc) int32 with 255
     for characters outside ACGTacgt / beyond length (SequenceCompactor drop
@@ -124,14 +137,26 @@ def encode_dna_device(reads, lengths):
     code = jnp.where(up == ord('T'), 3, code)
     inlen = jnp.arange(L, dtype=jnp.int32)[None, :] < lengths[:, None]
     code = jnp.where(inlen, code, 255)
-    # reverse complement via one flat gather
-    idxr = lengths[:, None] - 1 - jnp.arange(L, dtype=jnp.int32)[None, :]
-    ok = idxr >= 0
-    flat = code.reshape(-1)
-    g = flat[(jnp.arange(U, dtype=jnp.int32)[:, None] * L
-              + jnp.clip(idxr, 0, L - 1)).reshape(-1)].reshape(U, L)
-    rc = jnp.where(ok & (g != 255), 3 - g, 255)
-    return code, rc
+    return _rc_lanes(code, lengths)
+
+
+def decode_packed_dna(pack2, vmask, lengths):
+    """2-bit-packed reads -> (codes_fwd, codes_rc) int32 lanes.
+
+    pack2: [U, L//4] uint8, 4 bases/byte little-endian 2-bit codes;
+    vmask: [U, L//8] uint8, little-endian per-base validity bits (0 = char
+    outside the alphabet / beyond length -> code 255).  The host packs reads
+    this way (engine_fused._pack_reads) to cut upload bytes 2.7x — the
+    serving H2D link is the throughput bound on remote/tunneled devices."""
+    U, L4 = pack2.shape
+    L = L4 * 4
+    j = jnp.arange(L, dtype=jnp.int32)[None, :]
+    w = jnp.repeat(pack2.astype(jnp.int32), 4, axis=1)        # [U, L]
+    code = (w >> ((j & 3) * 2)) & 3
+    v = (jnp.repeat(vmask.astype(jnp.int32), 8, axis=1) >> (j & 7)) & 1
+    inlen = j < lengths[:, None]
+    code = jnp.where((v == 1) & inlen, code, 255)
+    return _rc_lanes(code, lengths)
 
 
 def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
@@ -144,15 +169,22 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
               score, second, hitlen, n_best, flags, sid_0..sid_{k_out-1}
       hits    [B, H, 4] int32 (sp, ep, l, off) - for host fallback paths
       nhits   [B] int32
+
+    `reads` is either a raw [U, L] uint8 byte matrix or a 2-bit-packed
+    (pack2, vmask) pair (see decode_packed_dna).
     """
-    U, L = reads.shape
+    # ---- encode + strand lanes: lane 2u = fwd, 2u+1 = rc ----
+    if isinstance(reads, (tuple, list)):
+        pack2, vmask = reads
+        U, L = pack2.shape[0], pack2.shape[1] * 4
+        cf, cr = decode_packed_dna(pack2, vmask, lengths.astype(jnp.int32))
+    else:
+        U, L = reads.shape
+        cf, cr = encode_dna_device(reads, lengths.astype(jnp.int32))
     Q = U // nr
     it = dev.idtype
     max_entries = max_result * hitk_factor
     rowQ = jnp.arange(Q, dtype=jnp.int32)
-
-    # ---- encode + strand lanes: lane 2u = fwd, 2u+1 = rc ----
-    cf, cr = encode_dna_device(reads, lengths.astype(jnp.int32))
     codes = jnp.stack([cf, cr], axis=1).reshape(2 * U, L)
     lanelens = jnp.repeat(lengths.astype(jnp.int32), 2)
 

@@ -18,6 +18,28 @@ from .engine_jax import ClassifierJax, _round_up, _next_pow2
 from .device_engine import FLAG_ADJUST, FLAG_ROW_OVERFLOW
 
 
+def _adjust_candidates(fwd, rc, length):
+    """Overapproximate the (which, m) backward searches adjust_hit_boundary
+    (Classifier.hpp:291-389) may issue for one read: every (fwd hit, rc hit)
+    pair contributes its two candidate prefix lengths, gated only on the
+    extension conditions (rc_right > right / left < rc_left) evaluated on the
+    ORIGINAL hit lists.  Rare cascaded re-searches (a hit modified by an
+    earlier pair re-enters with new bounds) miss the cache and fall back to
+    the host search.  Hits are (sp, ep, l, off) tuples."""
+    out = set()
+    for hf in fwd:
+        right = length - hf[3] - 1
+        left = right - hf[2] + 1
+        for hr in rc:
+            rc_left = hr[3]
+            rc_right = rc_left + hr[2] - 1
+            if rc_right > right:
+                out.add((0, rc_right + 1))
+            if left < rc_left:
+                out.add((1, length - left))
+    return out
+
+
 class ClassifierFused(ClassifierJax):
     K_OUT = 8        # best seqids returned per read by the device
     U_CAP = 8        # per-read SA-row budget on device (a unit can surface at
@@ -42,7 +64,11 @@ class ClassifierFused(ClassifierJax):
     # --------------------------------------------------------------- batching
 
     def _pack_reads(self, queries):
-        """queries -> (reads [U, L] uint8, lengths [U] int32, nr, Q0)."""
+        """queries -> ((pack2, vmask) 2-bit-packed reads, lengths [U] int32,
+        nr, Q0, Q, L).  Packing host-side (with the engine's own encode table,
+        so alphabet semantics match the exact oracle) cuts the per-batch
+        upload from 1 byte/base to 0.375 — the H2D link is the serving
+        bottleneck on remote/tunneled devices."""
         Q0 = len(queries)
         nr = 2 if any(q[1] is not None for q in queries) else 1
         if self.bucket_q and Q0 <= self.bucket_q:
@@ -64,15 +90,20 @@ class ClassifierFused(ClassifierJax):
                                isinstance(r, np.ndarray) else r
                                for r in raws]) if len(raws) else \
             np.zeros(0, np.uint8)
-        reads = np.zeros((U, L), np.uint8)
+        codes = np.full((U, L), 255, np.uint8)
         starts = np.zeros(len(raws) + 1, np.int64)
         np.cumsum(lens, out=starts[1:])
         ridx = np.repeat(np.arange(len(raws)), lens)
         cidx = np.arange(len(flat)) - starts[ridx]
-        reads[ridx, cidx] = flat
+        codes[ridx, cidx] = self.encode[flat]
+        valid = codes != 255
+        cc = np.where(valid, codes, 0).astype(np.uint8).reshape(U, L // 4, 4)
+        pack2 = (cc[:, :, 0] | (cc[:, :, 1] << 2) | (cc[:, :, 2] << 4)
+                 | (cc[:, :, 3] << 6)).astype(np.uint8)
+        vmask = np.packbits(valid, axis=1, bitorder="little")
         lengths = np.zeros(U, np.int32)
         lengths[:len(raws)] = lens
-        return reads, lengths, nr, Q0, Q, L
+        return (pack2, vmask), lengths, nr, Q0, Q, L
 
     def _dispatch_fused(self, queries):
         reads, lengths, nr, Q0, Q, L = self._pack_reads(queries)
@@ -95,10 +126,7 @@ class ClassifierFused(ClassifierJax):
         self.stats["fast_units"] += int(Q0 - len(fb_idx))
         fb = {}
         if len(fb_idx):
-            hits = np.asarray(out["hits"])
-            nh = np.asarray(out["nhits"])
-            for qi in fb_idx:
-                fb[int(qi)] = self._fallback_unit(queries[qi], qi, hits, nh, nr)
+            fb = self._finish_fallback_units(queries, fb_idx, out, nr)
         return packed, fb
 
     def _finish_fused(self, ctx):
@@ -162,36 +190,161 @@ class ClassifierFused(ClassifierJax):
         self.stats["fallback_units"] += int(len(fb_idx))
         self.stats["fast_units"] += int(Q0 - len(fb_idx))
         if len(fb_idx):
-            hits = np.asarray(out["hits"])
-            nh = np.asarray(out["nhits"])
-            for qi in fb_idx:
-                results[qi] = self._fallback_unit(queries[qi], qi, hits, nh, nr)
+            for qi, res in self._finish_fallback_units(
+                    queries, fb_idx, out, nr).items():
+                results[qi] = res
         return results
 
-    def _fallback_unit(self, query, qi, hits, nh, nr):
-        r1, r2 = query
-        base = 2 * nr * qi
-        lane_f1, lane_r1 = base, base + 1
-        lane_f2, lane_r2 = base + 2, base + 3
+    # ----------------------------------------------------- batched fallbacks
 
-        def lane_hits(lane):
+    FB_LANE_CAP = 256   # flagged-lane budget for the device-side hit slice
+
+    def _fallback_hits_accessor(self, out, fb_idx, nr):
+        """Returns hits_at(lane) -> [(sp, ep, l, off), ...] for the flagged
+        units' chain-search lanes.  When few units are flagged (the norm) a
+        device-side lane gather pulls only their rows (~KBs) instead of the
+        full [B, H, 4] hits tensor (~MBs over a high-latency link)."""
+        lanes = (2 * nr * fb_idx[:, None]
+                 + np.arange(2 * nr)[None, :]).reshape(-1).astype(np.int32)
+        if len(lanes) <= self.FB_LANE_CAP:
+            import jax
+            pad = np.zeros(self.FB_LANE_CAP, np.int32)
+            pad[:len(lanes)] = lanes
+            if not hasattr(self, "_lane_gather_fn"):
+                self._lane_gather_fn = jax.jit(lambda h, n, l: (h[l], n[l]))
+            hs_d, ns_d = self._lane_gather_fn(out["hits"], out["nhits"], pad)
+            hs = np.asarray(hs_d)
+            ns = np.asarray(ns_d)
+            lmap = {int(l): i for i, l in enumerate(lanes)}
+
+            def hits_at(lane):
+                i = lmap[lane]
+                return [(int(hs[i, m, 0]), int(hs[i, m, 1]),
+                         int(hs[i, m, 2]), int(hs[i, m, 3]))
+                        for m in range(int(ns[i]))]
+            return hits_at
+        hits = np.asarray(out["hits"])
+        nh = np.asarray(out["nhits"])
+
+        def hits_at(lane):
             return [(int(hits[lane, m, 0]), int(hits[lane, m, 1]),
                      int(hits[lane, m, 2]), int(hits[lane, m, 3]))
                     for m in range(int(nh[lane]))]
+        return hits_at
 
-        c1f = self.encode[r1]
+    def _batched_prefix_search(self, lane_codes, lane_ms):
+        """ONE device dispatch of longest-suffix backward searches for a
+        ragged request set; returns [(l, sp, ep), ...] aligned with inputs."""
+        n = len(lane_codes)
+        if n == 0:
+            return []
+        L = max(64, _round_up(max(len(c) for c in lane_codes), 64))
+        B = max(64, _next_pow2(n))
+        codes = np.full((B, L), 255, np.uint8)
+        for i, c in enumerate(lane_codes):
+            codes[i, :len(c)] = c
+        ms = np.zeros(B, np.int32)
+        ms[:n] = lane_ms
+        l, sp, ep = self.dev.prefix_search(codes, ms)
+        l, sp, ep = np.asarray(l), np.asarray(sp), np.asarray(ep)
+        return [(int(l[i]), int(sp[i]), int(ep[i])) for i in range(n)]
+
+    def _finish_fallback_units(self, queries, fb_idx, out, nr):
+        """Exact host finalize for flagged units with ALL device work batched:
+        one prefix_search dispatch serves every boundary-adjustment backward
+        search across every flagged unit, and one resolve dispatch serves
+        every SA-row LF-walk.  Replaces the per-unit path whose host FM
+        searches dominated serving wall time (~100 ms per flagged unit)."""
         from ..utils import COMP_TABLE
-        c1r = self.encode[COMP_TABLE[r1][::-1]]
-        if r2 is not None and nr == 2:
-            c2f = self.encode[r2]
-            c2r = self.encode[COMP_TABLE[r2][::-1]]
-            return self._query_exact_unit(
-                r1, r2, c1f, c1r, c2f, c2r,
-                lane_hits(lane_f1), lane_hits(lane_r1),
-                lane_hits(lane_f2), lane_hits(lane_r2))
-        return self._query_exact_unit(
-            r1, None, c1f, c1r, None, None,
-            lane_hits(lane_f1), lane_hits(lane_r1), None, None)
+        mhl = self.param.min_hit_len
+        hits_at = self._fallback_hits_accessor(out, fb_idx, nr)
+
+        units = []
+        lane_codes, lane_ms, lane_key = [], [], []
+        for qi in fb_idx:
+            qi = int(qi)
+            r1, r2 = queries[qi]
+            base = 2 * nr * qi
+            f1, rc1 = hits_at(base), hits_at(base + 1)
+            c1f = self.encode[r1]
+            c1r = self.encode[COMP_TABLE[r1][::-1]]
+            if r2 is not None and nr == 2:
+                f2, rc2 = hits_at(base + 2), hits_at(base + 3)
+                c2f = self.encode[r2]
+                c2r = self.encode[COMP_TABLE[r2][::-1]]
+            else:
+                r2 = None
+                f2 = rc2 = c2f = c2r = None
+            u = dict(qi=qi, r1=r1, r2=r2, c=(c1f, c1r, c2f, c2r),
+                     h=(f1, rc1, f2, rc2), caches=({}, {}))
+            ui = len(units)
+            units.append(u)
+            reads = [(0, f1, rc1, c1f, c1r, len(r1))]
+            if f2 is not None:
+                reads.append((1, f2, rc2, c2f, c2r, len(r2)))
+            for ri, fw, rc, cf, cr, ln in reads:
+                if not fw or not rc:
+                    continue
+                for which, m in _adjust_candidates(fw, rc, ln):
+                    lane_codes.append(cf if which == 0 else cr)
+                    lane_ms.append(m)
+                    lane_key.append((ui, ri, which, m))
+
+        for (ui, ri, which, m), r in zip(
+                lane_key, self._batched_prefix_search(lane_codes, lane_ms)):
+            units[ui]["caches"][ri][(which, m)] = r
+
+        # pass 1: boundary adjust + strand select per unit (cache-served),
+        # collecting every SA row to resolve
+        unit_final = []
+        row_parts = []
+        off = 0
+        for u in units:
+            c1f, c1r, c2f, c2r = u["c"]
+            f1, rc1, f2, rc2 = u["h"]
+
+            def mk_search(ri, cf, cr):
+                cache = u["caches"][ri]
+
+                def search(which, m):
+                    r = cache.get((which, m))
+                    if r is None:   # cascaded re-search (rare): host path
+                        r = self.backward_search(cf if which == 0 else cr, m)
+                    return r
+                return search
+
+            hs = self._adjusted_unit_hits(
+                u["r1"], u["r2"], c1f, c1r, c2f, c2r, f1, rc1, f2, rc2,
+                search1=mk_search(0, c1f, c1r),
+                search2=(mk_search(1, c2f, c2r) if u["r2"] is not None
+                         else None))
+            spans = []
+            for h in hs:
+                if h.l < mhl:
+                    spans.append(None)
+                    continue
+                rows = self.rows_for_hit(h)
+                spans.append((off, off + len(rows)))
+                off += len(rows)
+                row_parts.append(rows)
+            unit_final.append((u, hs, spans))
+
+        all_rows = np.concatenate(row_parts) if row_parts else \
+            np.zeros(0, np.int64)
+        resolved_flat = self._resolve_batch_rows(all_rows)
+
+        # pass 2: score aggregation + taxonomy per unit (host, exact)
+        fb = {}
+        empty = np.zeros(0, np.int64)
+        for u, hs, spans in unit_final:
+            resolved = [resolved_flat[s[0]:s[1]] if s is not None else empty
+                        for s in spans]
+            res = ClassifierResult()
+            self.classify_from_hits(hs, res, resolved=resolved)
+            res.query_length = len(u["r1"]) + \
+                (len(u["r2"]) if u["r2"] is not None else 0)
+            fb[u["qi"]] = res
+        return fb
 
     # ------------------------------------------------------------ main entry
 
@@ -208,29 +361,47 @@ class ClassifierFused(ClassifierJax):
                 return True
         return False
 
+    # finish-stage worker pool: the result pull and the fallback units' device
+    # round trips are latency-bound (tens of ms each over a remote/tunneled
+    # device link); running them in worker threads lets batch i's finish
+    # overlap batch i+1's upload/compute AND batch i+2's finish latency.
+    # Two workers + FIFO futures keep output order deterministic.
+    PIPELINE_DEPTH = 4
+
+    def _finish_pool(self):
+        if not hasattr(self, "_fin_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._fin_pool = ThreadPoolExecutor(max_workers=2)
+        return self._fin_pool
+
+    def _finish_packed_ctx(self, ctx):
+        packed, fb = self.finish_packed(ctx)
+        return packed, fb, ctx["queries"]
+
     def query_pipelined_packed(self, batches):
         """Like query_pipelined but yields (packed, fallback_dict, queries)
         per batch — the array-level fast path for TSV serving."""
         from collections import deque
+        pool = self._finish_pool()
         pend = deque()
         for batch in batches:
             if not batch:
+                while pend:
+                    yield pend.popleft().result()
                 yield np.zeros((0, 5 + self.K_OUT), np.int32), {}, []
                 continue
             if not self._fused_ok() or self._too_long(batch):
                 while pend:
-                    c = pend.popleft()
-                    yield self.finish_packed(c) + (c["queries"],)
+                    yield pend.popleft().result()
                 res = super().query_batch(batch)
                 yield None, dict(enumerate(res)), batch
                 continue
-            pend.append(self._dispatch_fused(batch))
-            if len(pend) >= 2:
-                c = pend.popleft()
-                yield self.finish_packed(c) + (c["queries"],)
+            ctx = self._dispatch_fused(batch)
+            pend.append(pool.submit(self._finish_packed_ctx, ctx))
+            if len(pend) >= self.PIPELINE_DEPTH:
+                yield pend.popleft().result()
         while pend:
-            c = pend.popleft()
-            yield self.finish_packed(c) + (c["queries"],)
+            yield pend.popleft().result()
 
     def _tsv_tables(self):
         """Per-seqid precomputed TSV fragment "\\t<name>\\t<taxid>\\t" so the
@@ -313,21 +484,25 @@ class ClassifierFused(ClassifierJax):
         return lines, ncls
 
     def query_pipelined(self, batches):
-        """Two-deep software pipeline: batch i+1's upload/compute overlaps
-        batch i's result pull + host materialization."""
+        """Software pipeline: batch i+1's upload/compute overlaps batch i's
+        result pull + host materialization (worker-thread finish stage)."""
         from collections import deque
+        pool = self._finish_pool()
         pend = deque()
         for batch in batches:
             if not batch:
+                while pend:
+                    yield pend.popleft().result()
                 yield []
                 continue
             if not self._fused_ok() or self._too_long(batch):
                 while pend:
-                    yield self._finish_fused(pend.popleft())
+                    yield pend.popleft().result()
                 yield super().query_batch(batch)
                 continue
-            pend.append(self._dispatch_fused(batch))
-            if len(pend) >= 2:
-                yield self._finish_fused(pend.popleft())
+            ctx = self._dispatch_fused(batch)
+            pend.append(pool.submit(self._finish_fused, ctx))
+            if len(pend) >= self.PIPELINE_DEPTH:
+                yield pend.popleft().result()
         while pend:
-            yield self._finish_fused(pend.popleft())
+            yield pend.popleft().result()

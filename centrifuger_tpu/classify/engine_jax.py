@@ -355,14 +355,20 @@ class ClassifierJax(ClassifierNP):
             fast_units.append(dict(hits=hd, query_length=ql))
         return finalize_units(self, fast_units, self._resolve_batch_rows)
 
-    def _query_exact_unit(self, r1, r2, c1f, c1r, c2f, c2r, f1, rc1, f2, rc2):
-        """Exact scalar path for adjustment-candidate reads, reusing the
-        device-computed chains."""
+    def _adjusted_unit_hits(self, r1, r2, c1f, c1r, c2f, c2r, f1, rc1, f2, rc2,
+                            search1=None, search2=None):
+        """SearchForwardAndReverse tail for one unit, reusing device-computed
+        chains: boundary adjustment + strand selection.  Returns the chosen
+        hits list (Classifier.hpp:291-389, 554-562).  search1/search2
+        optionally serve the adjustment's backward searches from a batched
+        device dispatch (engine_fused)."""
         strand_hits = [[BWTHit(*h, 0) for h in rc1], [BWTHit(*h, 0) for h in f1]]
-        self.adjust_hit_boundary(c1f[:len(r1)], c1r[:len(r1)], len(r1), strand_hits)
+        self.adjust_hit_boundary(c1f[:len(r1)], c1r[:len(r1)], len(r1),
+                                 strand_hits, search=search1)
         if r2 is not None:
             r2_strand = [[BWTHit(*h, 0) for h in rc2], [BWTHit(*h, 0) for h in f2]]
-            self.adjust_hit_boundary(c2f[:len(r2)], c2r[:len(r2)], len(r2), r2_strand)
+            self.adjust_hit_boundary(c2f[:len(r2)], c2r[:len(r2)], len(r2),
+                                     r2_strand, search=search2)
             for k in range(2):
                 strand_hits[k].extend(r2_strand[1 - k])
         strand_score = [0, 0]
@@ -371,11 +377,16 @@ class ClassifierJax(ClassifierNP):
                 h.strand = 2 * k - 1
             strand_score[k] = self.hits_score(strand_hits[k])
         if strand_score[1] > strand_score[0]:
-            hits = strand_hits[1]
-        elif strand_score[0] > strand_score[1]:
-            hits = strand_hits[0]
-        else:
-            hits = strand_hits[1] + strand_hits[0]
+            return strand_hits[1]
+        if strand_score[0] > strand_score[1]:
+            return strand_hits[0]
+        return strand_hits[1] + strand_hits[0]
+
+    def _query_exact_unit(self, r1, r2, c1f, c1r, c2f, c2r, f1, rc1, f2, rc2):
+        """Exact scalar path for adjustment-candidate reads, reusing the
+        device-computed chains."""
+        hits = self._adjusted_unit_hits(r1, r2, c1f, c1r, c2f, c2r,
+                                        f1, rc1, f2, rc2)
         result = ClassifierResult()
         self.classify_from_hits(hits, result)
         result.query_length = len(r1) + (len(r2) if r2 is not None else 0)

@@ -110,11 +110,18 @@ class ClassifierNP:
             remaining -= l + 1
         return len(out_hits)
 
-    def adjust_hit_boundary(self, r_codes, rc_codes, length, strand_hits):
+    def adjust_hit_boundary(self, r_codes, rc_codes, length, strand_hits,
+                            search=None):
         """AdjustHitBoundaryFromStrandHits (Classifier.hpp:291-389).
-        strand_hits[0]: hits on revcomp search, strand_hits[1]: forward."""
+        strand_hits[0]: hits on revcomp search, strand_hits[1]: forward.
+        `search(which, m)` optionally overrides the per-call backward search
+        (which: 0 = forward codes, 1 = revcomp codes) so callers can serve the
+        searches from a batched device dispatch (engine_fused)."""
         if not strand_hits[0] or not strand_hits[1]:
             return
+        if search is None:
+            def search(which, m):
+                return self.backward_search(r_codes if which == 0 else rc_codes, m)
         hit_size = [len(strand_hits[0]), len(strand_hits[1])]
         j = hit_size[0] - 1
         need_fix = [False, False]
@@ -136,12 +143,12 @@ class ClassifierNP:
                 if rc_left < left and right < rc_right:
                     break
                 if rc_right > right:
-                    l, sp, ep = self.backward_search(r_codes, rc_right + 1)
+                    l, sp, ep = search(0, rc_right + 1)
                     if rc_right - l + 1 == left and sp <= ep:
                         strand_hits[1][i] = BWTHit(sp, ep, l, length - rc_right - 1, 1)
                         need_fix[1] = True
                 if left < rc_left:
-                    l, sp, ep = self.backward_search(rc_codes, length - left)
+                    l, sp, ep = search(1, length - left)
                     if left + l - 1 == rc_right and sp <= ep:
                         strand_hits[0][j] = BWTHit(sp, ep, l, left, -1)
                         need_fix[0] = True

@@ -162,11 +162,22 @@ class DeviceBitvector:
 class DeviceFM:
     """Device mirror of FMIndexData with batched query kernels."""
 
-    def __init__(self, fm: FMIndexData, serve_layout="plain"):
+    def __init__(self, fm: FMIndexData, serve_layout="plain", force_idtype=None):
         _configure_compilation_cache()
         self.fm = fm
         self.n = fm.n
-        idtype = jnp.int32 if fm.n < (1 << 31) - 8 else jnp.int64
+        if force_idtype is not None:
+            idtype = np.dtype(force_idtype)
+            assert idtype in (np.dtype(np.int32), np.dtype(np.int64))
+        else:
+            idtype = jnp.int32 if fm.n < (1 << 31) - 8 else jnp.int64
+        if np.dtype(idtype) == np.dtype(np.int64) and not jax.config.jax_enable_x64:
+            # n >= 2^31: positions/ranks need 64-bit lanes (the reference
+            # indexes everything with size_t, compactds/Utils.hpp).  Without
+            # this flag jnp silently truncates int64 arrays to int32; it must
+            # be set before ANY tracing of these kernels.
+            jax.config.update("jax_enable_x64", True)
+        idtype = jnp.int64 if np.dtype(idtype) == np.dtype(np.int64) else jnp.int32
         self.idtype = idtype
         self.sigma = fm.sigma
         self.code_bits = fm.code_bits
@@ -556,11 +567,20 @@ class DeviceFM:
         c = self.bwt_access(p)
         return self.psum[c] + self.rank(c, p, inclusive=True) - 1
 
+    def _sampled_sa_fetch(self, slot):
+        """Sampled-SA gather; the sharded view routes this to the owning
+        shard (parallel/sharded.py)."""
+        return self.sampled_sa[slot]
+
+    def _rowmap_fetch(self, rows):
+        """Rowmap gather (rows pre-clipped int32); routed when sharded."""
+        return self.rowmap[rows]
+
     def get_sampled_sa(self, rows):
         found = rows == self.first_isa
         val = jnp.where(found, self.adjusted_sa0, 0).astype(self.idtype)
         is_samp = (~found) & (rows % self.sample_rate == 0)
-        val = jnp.where(is_samp, self.sampled_sa[rows // self.sample_rate], val)
+        val = jnp.where(is_samp, self._sampled_sa_fetch(rows // self.sample_rate), val)
         found = found | is_samp
         if self.sel_rows is not None:
             pos = jnp.searchsorted(self.sel_rows, rows)
@@ -588,11 +608,11 @@ class DeviceFM:
         rows: [M] int; valid: [M] bool mask for padding lanes.
         With the precomputed rowmap the whole walk is ONE gather."""
         if self.rowmap is not None:
-            r = self.rowmap[jnp.clip(rows, 0, self.n - 1).astype(jnp.int32)]
+            r = self._rowmap_fetch(jnp.clip(rows, 0, self.n - 1).astype(jnp.int32))
             return jnp.where(valid, r, 0).astype(self.idtype)
         def cond(state):
             _, pending, _ = state
-            return jnp.any(pending)
+            return self._loop_any(pending)
 
         def body(state):
             cur, pending, out = state

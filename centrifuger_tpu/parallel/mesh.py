@@ -64,26 +64,8 @@ def _resolve_matrix(dev_fm, rows, valid):
 
 
 def _resolve_inline(dev_fm, rows, valid):
-    """Inline (non-jitted) version of DeviceFM.resolve_rows for composition
-    inside larger jitted programs."""
-    import jax.numpy as jnp
-    from jax import lax
-
-    def cond(state):
-        _, pending, _ = state
-        return jnp.any(pending)
-
-    def body(state):
-        cur, pending, out = state
-        found, val = dev_fm.get_sampled_sa(cur)
-        newly = pending & found
-        out = jnp.where(newly, val, out)
-        pending = pending & (~found)
-        nxt = dev_fm.lf(jnp.where(pending, cur, 0))
-        cur = jnp.where(pending, nxt, cur)
-        return cur, pending, out
-
-    rows = rows.astype(dev_fm.idtype)
-    out = jnp.zeros_like(rows)
-    _, _, out = lax.while_loop(cond, body, (rows, valid, out))
-    return out
+    """Inline (non-jitted) resolve for composition inside larger jitted
+    programs — delegates to the one implementation (DeviceFM
+    ._resolve_rows_impl), so the rowmap fast path and the LF-walk stay in a
+    single place."""
+    return dev_fm._resolve_rows_impl(rows, valid)

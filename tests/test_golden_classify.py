@@ -85,6 +85,17 @@ def test_tiny_single(tmp_path_factory, tag, extra):
     assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
 
 
+@pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"]),
+                                       ("k5", ["-k", "5"])])
+def test_small_paired_fused(tmp_path_factory, tag, extra):
+    """The 300-read paired fixture under the fused device engine (fast —
+    always runs; the NumPy-oracle variant below stays gated)."""
+    fx = os.path.join(FIXTURE_DIR, "small")
+    prefix = get_index("small", tmp_path_factory)
+    got = run_classify(fx, prefix, extra, engine="fused")
+    assert_tsv_equal(got, os.path.join(fx, "golden_class_%s.tsv" % tag))
+
+
 @pytest.mark.skipif(not SLOW, reason="set CFR_SLOW_TESTS=1")
 @pytest.mark.parametrize("tag,extra", [("k1", []), ("k2", ["-k", "2"]),
                                        ("k5", ["-k", "5"])])
