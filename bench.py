@@ -234,29 +234,206 @@ def measure_ours(prefix):
             % ("IDENTICAL" if tsv_identical else "DIFFERS"))
 
     # device-program-only throughput (fused classify, no host finalize)
+    packs = _pack_batches(cl, fq)
+    mhl = cl.param.min_hit_len
+    L = packs[0][0][0].shape[1] * 4   # reads arrive 2-bit packed
+    dev_rps = _device_only_rps(cl, cl.dev, packs, mhl, L)
+    log("device fused-classify only: %.0f reads/s" % dev_rps)
+    return rps, dev_rps, platform, t_warm, t_warm2, tsv_identical, cl, packs
+
+
+def _pack_batches(cl, fq, n_batches=None):
+    """Pack the fixture's reads into device-ready batches once."""
+    from centrifuger_tpu.io.fastq_fast import iter_fastq_batches
     packs = []
     for _, queries in iter_fastq_batches(fq, BATCH_READS):
         packs.append(cl._pack_reads(queries)[:2])
-    mhl = cl.param.min_hit_len
-    L = packs[0][0][0].shape[1] * 4   # reads arrive 2-bit packed
+        if n_batches and len(packs) >= n_batches:
+            break
+    return packs
+
+
+def _device_only_rps(cl, dev, packs, mhl, L):
+    """Fused-classify device throughput over pre-packed batches."""
+    import numpy as np
     H = L // (mhl + 1) + 1
 
-    def run_fused(reads, lengths):
-        return cl.dev.fused_classify(reads, lengths, 1, mhl, H,
-                                     cl.param.max_result,
-                                     cl.param.max_result_per_hit_factor,
-                                     cl.K_OUT, reads[0].shape[0] * cl.U_CAP)
+    def run(reads, lengths):
+        return dev.fused_classify(reads, lengths, 1, mhl, H,
+                                  cl.param.max_result,
+                                  cl.param.max_result_per_hit_factor,
+                                  cl.K_OUT, reads[0].shape[0] * cl.U_CAP)
 
-    out = run_fused(*packs[0])
-    np.asarray(out["packed"])
+    out = run(*packs[0])
+    np.asarray(out["packed"])          # warm (compile + upload)
     t0 = time.time()
     for reads, lengths in packs:
-        out = run_fused(reads, lengths)
+        out = run(reads, lengths)
     np.asarray(out["packed"])
-    dt_dev = time.time() - t0
-    dev_rps = nreads / dt_dev
-    log("device fused-classify only: %.0f reads/s" % dev_rps)
-    return rps, dev_rps, platform, t_warm, t_warm2, tsv_identical
+    dt = time.time() - t0
+    nreads = sum(p[0][0].shape[0] for p in packs)
+    return nreads / dt
+
+
+def measure_layout_matrix(prefix, cl, packs):
+    """Device-only reads/s for the three serving layouts of the same index:
+    plain fused rows + rowmap resolve (default), plain without the rowmap
+    (LF-walk resolve — the only legal mode at n >= 2^31), and the run-block
+    compressed mega-table (reference Sequence_RunBlock.hpp:378-416 tradeoff).
+    The driver-visible answer to 'which layout costs what on TPU'."""
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.fm.device import DeviceFM
+    fm, tax, seqlen, meta = load_index(prefix)
+    mhl = cl.param.min_hit_len
+    L = packs[0][0][0].shape[1] * 4
+    out = {}
+    out["plain_rowmap"] = round(_device_only_rps(cl, cl.dev, packs, mhl, L), 1)
+    rm = fm.rowmap
+    try:
+        fm.rowmap = None
+        dev_nr = DeviceFM(fm)
+        out["plain_norowmap"] = round(
+            _device_only_rps(cl, dev_nr, packs, mhl, L), 1)
+    finally:
+        fm.rowmap = rm
+    dev_rb = DeviceFM(fm, serve_layout="runblock")
+    out["runblock"] = round(_device_only_rps(cl, dev_rb, packs, mhl, L), 1)
+    return out
+
+
+def measure_paired(prefix):
+    """Paired-end end-to-end reads/s (fragments/sec x 2 mates) on the same
+    DB: mates sampled from the same genomes with a 250 bp insert."""
+    import random
+    import make_fixture  # tools/ is on sys.path from ensure_fixture
+    p1 = os.path.join(CACHE, "reads_p1.fq")
+    p2 = os.path.join(CACHE, "reads_p2.fq")
+    if not (os.path.exists(p1) and os.path.exists(p2)):
+        rng = random.Random(1234)   # same genome stream as ensure_fixture
+        glen = DB_NT // N_GENOMES
+        genomes = []
+        prev = None
+        for i in range(N_GENOMES):
+            if i % 2 == 1 and prev is not None:
+                g = make_fixture.make_genome(rng, glen, parent=prev,
+                                             mut_rate=0.03)
+            else:
+                g = make_fixture.make_genome(rng, glen)
+                prev = g
+            genomes.append(g)
+        prng = random.Random(777)
+        n_pairs = min(N_READS // 2, 25000)
+        insert = 250
+        with open(p1, "w") as f1, open(p2, "w") as f2:
+            for ri in range(n_pairs):
+                gi = prng.randrange(N_GENOMES)
+                pos = prng.randrange(0, glen - insert)
+                frag = genomes[gi][pos:pos + insert]
+                r1 = make_fixture.mutate_read(prng, frag[:READ_LEN], 0.005)
+                r2 = make_fixture.mutate_read(
+                    prng, make_fixture.revcomp(frag[-READ_LEN:]), 0.005)
+                f1.write("@p%06d\n%s\n+\n%s\n" % (ri, r1, "I" * READ_LEN))
+                f2.write("@p%06d\n%s\n+\n%s\n" % (ri, r2, "I" * READ_LEN))
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.classify.engine_fused import ClassifierFused
+    from centrifuger_tpu.classify.params import ClassifierParam
+    from centrifuger_tpu.io.fastq_fast import iter_fastq_batches
+    fm, tax, seqlen, meta = load_index(prefix)
+    cl = ClassifierFused(fm, tax, ClassifierParam())
+    cl.bucket_q = BATCH_READS // 2
+
+    def batches():
+        it1 = iter_fastq_batches(p1, BATCH_READS // 2)
+        it2 = iter_fastq_batches(p2, BATCH_READS // 2)
+        for (_, q1), (_, q2) in zip(it1, it2):
+            yield [(a[0], b[0]) for a, b in zip(q1, q2)]
+
+    # warm one batch (compile)
+    first = next(batches())
+    cl.query_batch(first)
+    n = 0
+    t0 = time.time()
+    for res in cl.query_pipelined(batches()):
+        n += len(res)
+    dt = time.time() - t0
+    return round(2 * n / dt, 1)   # reads (mates) per second
+
+
+def measure_big_db(cl_small, packs):
+    """Device-only throughput against the big cached DB (no rowmap — the
+    n >= 2^31-legal configuration) if tools/make_big_bench.py has built it.
+    Reuses the small-DB compiled program: index arrays are jit ARGUMENTS, so
+    a bigger index is the same executable."""
+    import glob as _glob
+    dirs = sorted(_glob.glob(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        "bigdb_*nt")))
+    if not dirs:
+        return None
+    big = dirs[-1]
+    prefix = os.path.join(big, "ouridx")
+    if not os.path.exists(prefix + ".fm.npz"):
+        return None
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.classify.engine_fused import ClassifierFused
+    from centrifuger_tpu.classify.params import ClassifierParam
+    fm, tax, seqlen, meta = load_index(prefix)
+    t0 = time.time()
+    cl = ClassifierFused(fm, tax, ClassifierParam())
+    cl.bucket_q = BATCH_READS
+    t_up0 = time.time()
+    packs_big = _pack_batches(cl, os.path.join(big, "reads.fq"))
+    mhl = cl.param.min_hit_len
+    L = packs_big[0][0][0].shape[1] * 4
+    rps = _device_only_rps(cl, cl.dev, packs_big, mhl, L)
+    return {"db_nt": fm.n, "layout": "plain_norowmap",
+            "min_hit_len": mhl,
+            "device_reads_per_sec": round(rps, 1),
+            "load_plus_upload_sec": round(t_up0 - t0, 1)}
+
+
+def measure_rank_roofline(cl):
+    """Measured HBM bandwidth of the serving hot op — the fused-row rank
+    gather (_plain_rank_sym: one 84-byte row per rank) — at the chain-search
+    access pattern, vs the chip's HBM peak (BASELINE.md asks for exactly
+    this).  Returns achieved GB/s and % of peak."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    dev = cl.dev
+    if dev.plain_rows is None:
+        return None
+    M = 32768
+    iters = 64
+    rng = np.random.default_rng(5)
+    pos = jnp.asarray(rng.integers(0, dev.n - 1, M, dtype=np.int64)
+                      .astype(np.int32))
+    c = jnp.asarray(rng.integers(0, 4, M).astype(np.int32))
+
+    def body(arrs, pos, c):
+        d = dev._bind(arrs)
+        def step(i, carry):
+            pos, acc = carry
+            r, sym = d._plain_rank_sym(c, pos)
+            # data-dependent next positions: keeps the gathers serialized
+            # like the real LF chain, and unhoistable
+            pos = (pos + r + sym) % (d.n - 1)
+            return (pos, acc + r)
+        pos, acc = jax.lax.fori_loop(0, iters, step, (pos, jnp.zeros(M, jnp.int32)))
+        return acc
+    f = jax.jit(body)
+    jax.block_until_ready(f(dev.arrs, pos, c))
+    t0 = time.time()
+    out = f(dev.arrs, pos, c)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    bytes_moved = M * iters * 84   # one fused 84-byte row per rank
+    gbps = bytes_moved / dt / 1e9
+    peak = float(os.environ.get("CFR_HBM_PEAK_GBPS", 819))  # v5e HBM
+    return {"gather_gbps": round(gbps, 2), "hbm_peak_gbps": peak,
+            "pct_peak": round(100 * gbps / peak, 2),
+            "note": "serialized 84B-row rank gathers (LF-chain access "
+                    "pattern), %d lanes" % M}
 
 
 def ensure_ref_tsv():
@@ -279,22 +456,38 @@ def main():
     baseline = measure_reference()
     ensure_ref_tsv()
     prefix = ensure_our_index()
-    rps, dev_rps, platform, t_warm, t_warm2, tsv_ok = measure_ours(prefix)
+    rps, dev_rps, platform, t_warm, t_warm2, tsv_ok, cl, packs = \
+        measure_ours(prefix)
     vs = (rps / baseline) if baseline else None
+    extra = {
+        "device_fused_classify_reads_per_sec": round(dev_rps, 1),
+        "baseline_reference_reads_per_sec": round(baseline, 1) if baseline else None,
+        "platform": platform,
+        "warmup_cold_sec": round(t_warm, 1),
+        "warm_batch_sec": round(t_warm2, 3),
+        "tsv_identical_to_reference": tsv_ok,
+        "db_nt": DB_NT, "n_reads": N_READS, "read_len": READ_LEN,
+    }
+    if os.environ.get("CFR_BENCH_MATRIX", "1") == "1":
+        for name, fn in [
+                ("layout_matrix",
+                 lambda: measure_layout_matrix(prefix, cl, packs[:4])),
+                ("paired_end_reads_per_sec",
+                 lambda: measure_paired(prefix)),
+                ("big_db", lambda: measure_big_db(cl, packs)),
+                ("rank_gather_roofline", lambda: measure_rank_roofline(cl))]:
+            try:
+                extra[name] = fn()
+                log("%s: %s" % (name, extra[name]))
+            except Exception as e:  # matrix entries are best-effort extras
+                log("%s failed: %r" % (name, e))
+                extra[name] = None
     print(json.dumps({
         "metric": "classification_reads_per_sec",
         "value": round(rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(vs, 3) if vs is not None else None,
-        "extra": {
-            "device_fused_classify_reads_per_sec": round(dev_rps, 1),
-            "baseline_reference_reads_per_sec": round(baseline, 1) if baseline else None,
-            "platform": platform,
-            "warmup_cold_sec": round(t_warm, 1),
-            "warm_batch_sec": round(t_warm2, 3),
-            "tsv_identical_to_reference": tsv_ok,
-            "db_nt": DB_NT, "n_reads": N_READS, "read_len": READ_LEN,
-        },
+        "extra": extra,
     }))
 
 

@@ -52,6 +52,8 @@ I32_MAX = np.int32(2**31 - 1)
 FLAG_ADJUST = 1      # both strands hit somewhere -> boundary-adjustment path
 FLAG_ROW_OVERFLOW = 2  # unit's expanded SA rows exceed the device row budget
 
+FB_CAP = 64          # flagged units whose chains ship with the main result
+
 
 # ---------------------------------------------------------------- row helpers
 # All per-unit scans run along axis 1 (width 16-32) as log2(W) static-shift
@@ -160,7 +162,7 @@ def decode_packed_dna(pack2, vmask, lengths):
 
 
 def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
-                   hitk_factor, k_out, r_cap):
+                   hitk_factor, k_out, r_cap, protein=False):
     """The device program. All args after `dev` are traced arrays or static
     python ints. reads [U, L] uint8, lengths [U] int32, U = Q * nr.
 
@@ -170,11 +172,23 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
       hits    [B, H, 4] int32 (sp, ep, l, off) - for host fallback paths
       nhits   [B] int32
 
-    `reads` is either a raw [U, L] uint8 byte matrix or a 2-bit-packed
-    (pack2, vmask) pair (see decode_packed_dna).
+    Nucleotide mode: `reads` is either a raw [U, L] uint8 byte matrix or a
+    2-bit-packed (pack2, vmask) pair (see decode_packed_dna); the program
+    builds the fwd/rc strand lanes itself.
+
+    Protein mode (translated search, reference Classifier.hpp:451-493):
+    `reads` is a pre-encoded AA-code matrix [U*6, L] uint8 (255 invalid) with
+    per-read lane order [fwd frame 0..2, rc frame 0..2] and `lengths` the
+    per-lane AA lengths; frame and strand choice run on device, and there is
+    no hit-boundary adjustment on the protein path.
     """
+    if protein:
+        codes = reads
+        lanelens = lengths.astype(jnp.int32)
+        U = codes.shape[0] // 6
+        L = codes.shape[1]
     # ---- encode + strand lanes: lane 2u = fwd, 2u+1 = rc ----
-    if isinstance(reads, (tuple, list)):
+    elif isinstance(reads, (tuple, list)):
         pack2, vmask = reads
         U, L = pack2.shape[0], pack2.shape[1] * 4
         cf, cr = decode_packed_dna(pack2, vmask, lengths.astype(jnp.int32))
@@ -185,8 +199,9 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     it = dev.idtype
     max_entries = max_result * hitk_factor
     rowQ = jnp.arange(Q, dtype=jnp.int32)
-    codes = jnp.stack([cf, cr], axis=1).reshape(2 * U, L)
-    lanelens = jnp.repeat(lengths.astype(jnp.int32), 2)
+    if not protein:
+        codes = jnp.stack([cf, cr], axis=1).reshape(2 * U, L)
+        lanelens = jnp.repeat(lengths.astype(jnp.int32), 2)
 
     # ---- chain search ----
     ch = dev._chain_search_impl(codes, lanelens, mhl, H)
@@ -194,13 +209,42 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     nhits = ch["nhits"]
 
     # ---- strand scores + selection (Classifier.hpp:496-569) ----
-    adj = 15  # _scoreHitLenAdjust, nucleotide
+    adj = 5 if protein else 15  # _scoreHitLenAdjust (Classifier.hpp:807,892)
     hmask = jnp.arange(H, dtype=jnp.int32)[None, :] < nhits[:, None]
     lane_score = jnp.sum(
         jnp.where(hmask & (hlv >= mhl),
                   (hlv.astype(jnp.int32) - adj) ** 2, 0), axis=1)
 
-    if nr == 2:
+    if protein:
+        # frame choice per (read, strand): max of nhits * score with strict >
+        # (best starts 0; ties keep the earlier frame, Classifier.hpp:474-487)
+        qscore = nhits * lane_score
+
+        def chosen(lane0):
+            sc0, sc1, sc2 = qscore[lane0], qscore[lane0 + 1], qscore[lane0 + 2]
+            tag = jnp.zeros_like(sc0)
+            best = jnp.where(sc0 > 0, sc0, 0)
+            upd = sc1 > best
+            tag = jnp.where(upd, 1, tag)
+            best = jnp.where(upd, sc1, best)
+            upd = sc2 > best
+            tag = jnp.where(upd, 2, tag)
+            return lane0 + tag
+
+        r1l0 = 6 * nr * rowQ
+        f1 = chosen(r1l0)
+        r1 = chosen(r1l0 + 3)
+        if nr == 2:
+            f2 = chosen(r1l0 + 6)
+            r2 = chosen(r1l0 + 9)
+            sc_plus = lane_score[f1] + lane_score[r2]
+            sc_minus = lane_score[r1] + lane_score[f2]
+        else:
+            f2 = r2 = jnp.full(Q, -1, jnp.int32)
+            sc_plus = lane_score[f1]
+            sc_minus = lane_score[r1]
+        needs_adjust = jnp.zeros(Q, bool)  # no protein boundary adjustment
+    elif nr == 2:
         f1, r1, f2, r2 = 4 * rowQ, 4 * rowQ + 1, 4 * rowQ + 2, 4 * rowQ + 3
         sc_plus = lane_score[f1] + lane_score[r2]
         sc_minus = lane_score[r1] + lane_score[f2]
@@ -419,4 +463,23 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     hits_packed = jnp.stack([hsp.astype(jnp.int32), hep.astype(jnp.int32),
                              hlv.astype(jnp.int32), hoff.astype(jnp.int32)],
                             axis=2)
-    return dict(packed=packed, hits=hits_packed, nhits=nhits)
+
+    # compact chain data for the first FB_CAP flagged units, shipped with the
+    # main result so the host fallback path needs NO extra device round trip
+    # (the full hits tensor stays on device; ~KBs instead of ~MBs pulled)
+    lpu = (6 if protein else 2) * nr
+    fb_mask = (flags != 0) | (nbest_dedup > k_out)
+    fbu = lax.sort(jnp.where(fb_mask, rowQ, I32_MAX))[:FB_CAP]
+    # barrier: a sort output feeding a gather's indices melts the XLA:TPU
+    # fusion pass (same pathology as the scan x gather blowup, see module
+    # docstring); the barrier costs nothing and keeps compiles in seconds
+    fbu = lax.optimization_barrier(fbu)
+    fbu_safe = jnp.where(fbu == I32_MAX, 0, fbu)
+    fb_lanes = (lpu * fbu_safe[:, None]
+                + jnp.arange(lpu, dtype=jnp.int32)[None, :]).reshape(-1)
+    fb_hits = hits_packed[fb_lanes]
+    fb_nh = nhits[fb_lanes].astype(jnp.int32)
+    fb_units = jnp.where(fbu == I32_MAX, -1, fbu)
+
+    return dict(packed=packed, hits=hits_packed, nhits=nhits,
+                fb_units=fb_units, fb_hits=fb_hits, fb_nh=fb_nh)

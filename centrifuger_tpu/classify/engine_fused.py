@@ -56,10 +56,14 @@ class ClassifierFused(ClassifierJax):
         self._sid_prefix = None
 
     def _fused_ok(self):
-        return (not self.protein and self.dev.fast
-                and self.dev.plain_rows is not None
-                and self.param.max_result > 0
-                and self.param.max_result_per_hit_factor > 0)
+        if self.param.max_result <= 0 or \
+                self.param.max_result_per_hit_factor <= 0:
+            return False
+        if self.protein:
+            # translated search runs fused too: the chain/resolve kernels fall
+            # back to the generic run-block rank path (sigma > 4)
+            return True
+        return self.dev.fast and self.dev.plain_rows is not None
 
     # --------------------------------------------------------------- batching
 
@@ -105,13 +109,50 @@ class ClassifierFused(ClassifierJax):
         lengths[:len(raws)] = lens
         return (pack2, vmask), lengths, nr, Q0, Q, L
 
+    def _pack_reads_protein(self, queries):
+        """queries -> (AA code lanes [U*6, L] uint8, lengths, nr, Q0, Q, L).
+        Per-read lane order: fwd frames 0..2 then rc frames 0..2 (the fused
+        program's protein contract; reference TranslatedSearch,
+        Classifier.hpp:451-493)."""
+        from .translate import translate_frames
+        from ..utils import COMP_TABLE
+        Q0 = len(queries)
+        nr = 2 if any(q[1] is not None for q in queries) else 1
+        if self.bucket_q and Q0 <= self.bucket_q:
+            Q = self.bucket_q
+        else:
+            Q = max(_next_pow2(Q0), 1024)
+        U = Q * nr
+        lanes = []
+        for r1, r2 in queries:
+            for raw in (r1,) + ((r2,) if nr == 2 else ()):
+                if raw is None or len(raw) == 0:
+                    lanes.extend([np.zeros(0, np.uint8)] * 6)
+                    continue
+                for aa in translate_frames(raw):
+                    lanes.append(self.encode[aa])
+                for aa in translate_frames(COMP_TABLE[raw][::-1]):
+                    lanes.append(self.encode[aa])
+        maxlen = max((len(c) for c in lanes), default=1)
+        L = max(_round_up(max(maxlen, 16), 32), 32)
+        codes = np.full((U * 6, L), 255, np.uint8)
+        lengths = np.zeros(U * 6, np.int32)
+        for i, c in enumerate(lanes):
+            codes[i, :len(c)] = c
+            lengths[i] = len(c)
+        return codes, lengths, nr, Q0, Q, L
+
     def _dispatch_fused(self, queries):
-        reads, lengths, nr, Q0, Q, L = self._pack_reads(queries)
+        if self.protein:
+            reads, lengths, nr, Q0, Q, L = self._pack_reads_protein(queries)
+        else:
+            reads, lengths, nr, Q0, Q, L = self._pack_reads(queries)
         mhl = self.param.min_hit_len
         H = max(L // (mhl + 1) + 1, 1)
         out = self.dev.fused_classify(
             reads, lengths, nr, mhl, H, self.param.max_result,
-            self.param.max_result_per_hit_factor, self.K_OUT, Q * self.U_CAP)
+            self.param.max_result_per_hit_factor, self.K_OUT, Q * self.U_CAP,
+            protein=self.protein)
         return dict(queries=queries, out=out, nr=nr, Q0=Q0)
 
     def finish_packed(self, ctx):
@@ -201,11 +242,28 @@ class ClassifierFused(ClassifierJax):
 
     def _fallback_hits_accessor(self, out, fb_idx, nr):
         """Returns hits_at(lane) -> [(sp, ep, l, off), ...] for the flagged
-        units' chain-search lanes.  When few units are flagged (the norm) a
-        device-side lane gather pulls only their rows (~KBs) instead of the
-        full [B, H, 4] hits tensor (~MBs over a high-latency link)."""
-        lanes = (2 * nr * fb_idx[:, None]
-                 + np.arange(2 * nr)[None, :]).reshape(-1).astype(np.int32)
+        units' chain-search lanes.  Preferred source: the compact fb_* arrays
+        the device ships with the main result (zero extra round trips); else
+        a device-side lane gather pulls only the flagged rows (~KBs); the
+        full [B, H, 4] hits tensor (~MBs over a high-latency link) is the
+        last resort."""
+        lpu = (6 if self.protein else 2) * nr
+        fbu = out.get("fb_units")
+        if fbu is not None and len(fb_idx) <= fbu.shape[0]:
+            sel = np.asarray(fbu)[:len(fb_idx)]
+            if np.array_equal(sel, fb_idx):
+                hs = np.asarray(out["fb_hits"])
+                ns = np.asarray(out["fb_nh"])
+                pos = {int(u): i for i, u in enumerate(sel)}
+
+                def hits_at(lane):
+                    i = pos[lane // lpu] * lpu + lane % lpu
+                    return [(int(hs[i, m, 0]), int(hs[i, m, 1]),
+                             int(hs[i, m, 2]), int(hs[i, m, 3]))
+                            for m in range(int(ns[i]))]
+                return hits_at
+        lanes = (lpu * fb_idx[:, None]
+                 + np.arange(lpu)[None, :]).reshape(-1).astype(np.int32)
         if len(lanes) <= self.FB_LANE_CAP:
             import jax
             pad = np.zeros(self.FB_LANE_CAP, np.int32)
@@ -252,13 +310,61 @@ class ClassifierFused(ClassifierJax):
     def _finish_fallback_units(self, queries, fb_idx, out, nr):
         """Exact host finalize for flagged units with ALL device work batched:
         one prefix_search dispatch serves every boundary-adjustment backward
-        search across every flagged unit, and one resolve dispatch serves
-        every SA-row LF-walk.  Replaces the per-unit path whose host FM
-        searches dominated serving wall time (~100 ms per flagged unit)."""
-        from ..utils import COMP_TABLE
-        mhl = self.param.min_hit_len
+        search across every flagged unit (nucleotide only; protein has no
+        boundary adjustment), and one resolve dispatch serves every SA-row
+        LF-walk.  Replaces the per-unit path whose host FM searches dominated
+        serving wall time (~100 ms per flagged unit)."""
         hits_at = self._fallback_hits_accessor(out, fb_idx, nr)
+        if self.protein:
+            unit_hits = self._fallback_unit_hits_protein(
+                queries, fb_idx, hits_at, nr)
+        else:
+            unit_hits = self._fallback_unit_hits_dna(
+                queries, fb_idx, hits_at, nr)
+        return self._classify_units_batch(unit_hits)
 
+    def _fallback_unit_hits_protein(self, queries, fb_idx, hits_at, nr):
+        """Flagged protein units: frame choice + strand choice host-side from
+        the device chains (TranslatedSearch, Classifier.hpp:451-493; no
+        boundary adjustment).  Returns [(qi, hits, qlen), ...]."""
+        from .engine_np import BWTHit
+        res = []
+        for qi in fb_idx:
+            qi = int(qi)
+            r1, r2 = queries[qi]
+            base = 6 * nr * qi
+
+            def best_frame(l0):
+                fh = [hits_at(l0 + f) for f in range(3)]
+                best, tag = 0, 0
+                for f in range(3):
+                    sc = len(fh[f]) * sum(self.hit_score(h[2]) for h in fh[f])
+                    if sc > best:
+                        best, tag = sc, f
+                return fh[tag]
+
+            plus = best_frame(base)
+            minus = best_frame(base + 3)
+            if r2 is not None and nr == 2:
+                plus = plus + best_frame(base + 9)    # rc frames of r2
+                minus = minus + best_frame(base + 6)  # fwd frames of r2
+            sc_p = sum(self.hit_score(h[2]) for h in plus)
+            sc_m = sum(self.hit_score(h[2]) for h in minus)
+            if sc_p > sc_m:
+                chosen = [(h, 1) for h in plus]
+            elif sc_m > sc_p:
+                chosen = [(h, -1) for h in minus]
+            else:
+                chosen = [(h, 1) for h in plus] + [(h, -1) for h in minus]
+            hs = [BWTHit(h[0], h[1], h[2], h[3], s) for h, s in chosen]
+            qlen = len(r1) + (len(r2) if r2 is not None else 0)
+            res.append((qi, hs, qlen))
+        return res
+
+    def _fallback_unit_hits_dna(self, queries, fb_idx, hits_at, nr):
+        """Flagged nucleotide units: batched boundary adjustment + strand
+        choice.  Returns [(qi, hits, qlen), ...]."""
+        from ..utils import COMP_TABLE
         units = []
         lane_codes, lane_ms, lane_key = [], [], []
         for qi in fb_idx:
@@ -294,11 +400,8 @@ class ClassifierFused(ClassifierJax):
                 lane_key, self._batched_prefix_search(lane_codes, lane_ms)):
             units[ui]["caches"][ri][(which, m)] = r
 
-        # pass 1: boundary adjust + strand select per unit (cache-served),
-        # collecting every SA row to resolve
-        unit_final = []
-        row_parts = []
-        off = 0
+        # boundary adjust + strand select per unit (cache-served)
+        res = []
         for u in units:
             c1f, c1r, c2f, c2r = u["c"]
             f1, rc1, f2, rc2 = u["h"]
@@ -318,6 +421,19 @@ class ClassifierFused(ClassifierJax):
                 search1=mk_search(0, c1f, c1r),
                 search2=(mk_search(1, c2f, c2r) if u["r2"] is not None
                          else None))
+            qlen = len(u["r1"]) + (len(u["r2"]) if u["r2"] is not None else 0)
+            res.append((u["qi"], hs, qlen))
+        return res
+
+    def _classify_units_batch(self, unit_hits):
+        """Shared fallback tail: collect every SA row across units, resolve
+        them in ONE batched device LF-walk, then run the exact host score
+        aggregation + taxonomy per unit.  unit_hits: [(qi, hits, qlen)]."""
+        mhl = self.param.min_hit_len
+        row_parts = []
+        spans_all = []
+        off = 0
+        for qi, hs, qlen in unit_hits:
             spans = []
             for h in hs:
                 if h.l < mhl:
@@ -327,23 +443,21 @@ class ClassifierFused(ClassifierJax):
                 spans.append((off, off + len(rows)))
                 off += len(rows)
                 row_parts.append(rows)
-            unit_final.append((u, hs, spans))
+            spans_all.append(spans)
 
         all_rows = np.concatenate(row_parts) if row_parts else \
             np.zeros(0, np.int64)
         resolved_flat = self._resolve_batch_rows(all_rows)
 
-        # pass 2: score aggregation + taxonomy per unit (host, exact)
         fb = {}
         empty = np.zeros(0, np.int64)
-        for u, hs, spans in unit_final:
+        for (qi, hs, qlen), spans in zip(unit_hits, spans_all):
             resolved = [resolved_flat[s[0]:s[1]] if s is not None else empty
                         for s in spans]
             res = ClassifierResult()
             self.classify_from_hits(hs, res, resolved=resolved)
-            res.query_length = len(u["r1"]) + \
-                (len(u["r2"]) if u["r2"] is not None else 0)
-            fb[u["qi"]] = res
+            res.query_length = qlen
+            fb[qi] = res
         return fb
 
     # ------------------------------------------------------------ main entry

@@ -942,14 +942,16 @@ class DeviceFM:
                     nhits=st["nhits"])
 
     def fused_classify(self, reads, lengths, nr, mhl, H, max_result,
-                       hitk_factor, k_out, r_cap):
+                       hitk_factor, k_out, r_cap, protein=False):
         """One-program classification: encode + chain search + strand select +
         SA-row expansion + LF resolve + score aggregation (see
         classify/device_engine.py).  Returns dict of device arrays."""
         from ..classify.device_engine import fused_classify
-        key = ("fusedcls", nr, mhl, H, max_result, hitk_factor, k_out, r_cap)
+        key = ("fusedcls", nr, mhl, H, max_result, hitk_factor, k_out, r_cap,
+               protein)
         f = self._jitted(key, lambda s, rd, ln: fused_classify(
-            s, rd, ln, nr, mhl, H, max_result, hitk_factor, k_out, r_cap))
+            s, rd, ln, nr, mhl, H, max_result, hitk_factor, k_out, r_cap,
+            protein=protein))
         return f(self.arrs, reads, lengths)
 
     def prefix_search(self, codes, ms):

@@ -214,7 +214,8 @@ class ShardedIndex:
                           hitk_factor, k_out, (u_local // nr) * u_cap)
 
         out_specs = dict(packed=P(axis, None), hits=P(axis, None, None),
-                         nhits=P(axis))
+                         nhits=P(axis), fb_units=P(axis),
+                         fb_hits=P(axis, None, None), fb_nh=P(axis))
         packed_in = isinstance(reads, (tuple, list))
         if packed_in:
             reads = tuple(reads)
