@@ -57,7 +57,22 @@ def main(argv=None):
                     help="compute engine (extension over the reference CLI)")
     ap.add_argument("--batch-size", type=int, default=0,
                     help="reads per device batch (0 = auto)")
+    ap.add_argument("--n-ranks", type=int, default=1,
+                    help="multi-host serving: total serving processes; this "
+                         "rank handles read batches i with i %% n_ranks == "
+                         "rank (SURVEY 2.6-P2 input sharding)")
+    ap.add_argument("--rank", type=int, default=0,
+                    help="this process's rank in [0, n_ranks)")
+    ap.add_argument("--rank-index", default=None,
+                    help="sidecar file recording TSV rows per processed "
+                         "batch, consumed by cfr-merge-shards to rebuild "
+                         "the global read order")
     args = ap.parse_args(argv)
+    if args.n_ranks > 1:
+        if not (0 <= args.rank < args.n_ranks):
+            ap.error("--rank must be in [0, n_ranks)")
+        if args.sample_sheet or args.un_prefix or args.cl_prefix:
+            ap.error("--n-ranks is incompatible with --sample-sheet/--un/--cl")
 
     log("Centrifuger(tpu) starts.")
     import os
@@ -157,7 +172,18 @@ def main(argv=None):
         writer.set_output_reads(args.cl_prefix, has_mate, has_barcode, has_umi, 1)
     if sample_outputs:
         writer.set_multi_output_file_list(sample_outputs)
-    writer.output_header()
+    if args.rank == 0:
+        writer.output_header()
+    rank_counts = []   # TSV rows per OWN batch (global batch striping order)
+
+    def _stripe(it):
+        """Multi-host input sharding: yield only this rank's batch stripe."""
+        if args.n_ranks <= 1:
+            yield from it
+            return
+        for i, b in enumerate(it):
+            if i % args.n_ranks == args.rank:
+                yield b
 
     merger = None
     if args.merge_readpair:
@@ -296,14 +322,17 @@ def main(argv=None):
         idq = deque()  # read-id lists in flight; popped per finished batch
 
         def bulk_batches():
+            i = 0
             while True:
                 item = bq2.get()
                 if item is None:
                     return
                 if isinstance(item, Exception):
                     raise item
-                idq.append(item[0])
-                yield item[1]
+                if i % args.n_ranks == args.rank:
+                    idq.append(item[0])
+                    yield item[1]
+                i += 1
 
         for packed, fb, queries in classifier.query_pipelined_packed(
                 bulk_batches()):
@@ -313,6 +342,7 @@ def main(argv=None):
                 writer.fp.write("\n".join(lines) + "\n")
             writer.total_cnt += len(queries)
             writer.classified_cnt += ncls
+            rank_counts.append(len(lines))
         tb.join()
     else:
         t = threading.Thread(target=producer, daemon=True)
@@ -323,7 +353,7 @@ def main(argv=None):
             pending = []
             for packed, fb, queries in classifier.query_pipelined_packed(
                     _batch_queries(b, merger)
-                    for b in _tee_batches(pending, batches())):
+                    for b in _tee_batches(pending, _stripe(batches()))):
                 batch = pending.pop(0)
                 rids = [r1.id for r1, _, _, _ in batch]
                 lines, ncls = classifier.format_tsv_batch(packed, fb, queries, rids)
@@ -331,18 +361,26 @@ def main(argv=None):
                     writer.fp.write("\n".join(lines) + "\n")
                 writer.total_cnt += len(batch)
                 writer.classified_cnt += ncls
+                rank_counts.append(len(lines))
         elif hasattr(classifier, "query_pipelined"):
             pending = []
             for results in classifier.query_pipelined(
                     _batch_queries(b, merger)
-                    for b in _tee_batches(pending, batches())):
+                    for b in _tee_batches(pending, _stripe(batches()))):
                 batch = pending.pop(0)
+                r0 = writer.rows_out
                 _write_batch(batch, results, writer)
+                rank_counts.append(writer.rows_out - r0)
         else:
-            for batch in batches():
+            for batch in _stripe(batches()):
+                r0 = writer.rows_out
                 _process_batch(batch, classifier, writer, merger, has_mate)
+                rank_counts.append(writer.rows_out - r0)
         t.join()
 
+    if args.rank_index:
+        with open(args.rank_index, "w") as f:
+            f.write("".join("%d\n" % c for c in rank_counts))
     writer.finalize()
     log("Centrifuger(tpu) finishes.")
     return 0

@@ -20,6 +20,7 @@ class ResultWriter:
         self.output_expanded = False
         self.classified_cnt = 0
         self.total_cnt = 0
+        self.rows_out = 0   # TSV rows written (multi-rank merge bookkeeping)
         self._un_fps = [None] * 4
         self._cl_fps = [None] * 4
         self.output_unclassified = False
@@ -87,6 +88,7 @@ class ResultWriter:
             return
         match_cnt = len(result.tax_ids)
         self.total_cnt += 1
+        self.rows_out += match_cnt if match_cnt else 1
         if match_cnt > 0:
             self.classified_cnt += 1
             for i in range(match_cnt):

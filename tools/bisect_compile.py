@@ -1,5 +1,5 @@
-"""Bisect which construct makes the chain-search program take ~220s to
-compile: the ftab gather, the pre-stack, the while loop, or a combination."""
+"""Round 4: the blowup needs tailvalid (associative_scan) x gather-result
+fusion. Find the minimal trigger and a fix (lax.cummax / barrier placement)."""
 
 import os
 import sys
@@ -18,20 +18,15 @@ CACHE = os.path.join(REPO, ".bench_cache", "db5000000_r100000_l100")
 
 def compile_time(f, *args):
     t0 = time.time()
-    jf = jax.jit(f)
-    lowered = jf.lower(*args)
-    t_lower = time.time() - t0
-    t0 = time.time()
-    comp = lowered.compile()
+    comp = jax.jit(f).lower(*args).compile()
     t_comp = time.time() - t0
-    # warm run
     out = comp(*args)
     jax.block_until_ready(out)
     t0 = time.time()
-    out = comp(*args)
+    for _ in range(5):
+        out = comp(*args)
     jax.block_until_ready(out)
-    t_run = time.time() - t0
-    return t_lower, t_comp, t_run
+    return t_comp, (time.time() - t0) / 5
 
 
 def main():
@@ -40,66 +35,100 @@ def main():
     from centrifuger_tpu.classify.params import ClassifierParam
 
     fm, tax, seqlen, meta = load_index(os.path.join(CACHE, "ouridx"))
-    cl = ClassifierFused(fm, tax, ClassifierParam())
-    dev = cl.dev
+    dev = ClassifierFused(fm, tax, ClassifierParam()).dev
     B, L = 16384, 128
-    mhl = 23
     rng = np.random.default_rng(0)
     codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.int32))
-    lengths = jnp.full((B,), 100, jnp.int32)
-    ftab_len = dev.ftab_len
-    ftab_start = dev.ftab_start
-    it = dev.idtype
     pw = dev.pw
+    bits = dev.code_bits
+    fl, fs = dev.ftab_len, dev.ftab_start
 
-    def precompute(codes, lengths, use_ftab, use_loop, acc_ch):
-        kfull, tailvalid = dev._precompute_read_tables(codes)
-        posidx = jnp.arange(L + 1, dtype=jnp.int32)[None, :]
-        if use_ftab:
-            kc = jnp.clip(kfull, 0, ftab_len.shape[0] - 1)
-            p_flen = ftab_len[kc]
-            p_fsp = ftab_start[kc]
-        else:
-            p_flen = kfull.astype(it) & 7
-            p_fsp = kfull.astype(it) >> 3
-        p_ok = (tailvalid >= pw) & (p_flen > 0) & (posidx >= pw)
-        lfail = jnp.where(posidx < pw, 0,
-                          jnp.where(tailvalid < pw, tailvalid, pw - 1))
-        prev_char = jnp.concatenate(
-            [jnp.full((B, 1), 255, jnp.int32), codes.astype(jnp.int32)], axis=1)
-        pre = jnp.stack([jnp.where(p_ok, p_fsp, 1).astype(it),
-                         jnp.where(p_ok, p_fsp + p_flen - 1, 0).astype(it),
-                         jnp.where(p_ok, -1, lfail).astype(it),
-                         prev_char], axis=-1)
-        pre_flat = pre.reshape(B * (L + 1), 4)
-        if not use_loop:
-            return pre_flat.sum()
-        lane_base = jnp.arange(B, dtype=jnp.int32) * (L + 1)
-        st = dict(rem=lengths.astype(jnp.int32), acc=jnp.zeros(B, jnp.int32))
+    def kfull_f(cc):
+        parts = [cc[:, j:L - pw + j + 1] << (bits * j) for j in range(pw)]
+        core = parts[0]
+        for p in parts[1:]:
+            core = core + p
+        return jnp.concatenate([jnp.zeros((B, pw), jnp.int32), core], axis=1)
 
-        def cond(stt):
-            return jnp.any(stt["rem"] >= mhl)
+    def tv_scan(valid):
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        inv_pos = jnp.where(~valid, pos, -1)
+        last_inv = lax.associative_scan(jnp.maximum, inv_pos, axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), pos - last_inv], axis=1)
 
-        def body(stt):
-            idx = jnp.clip(stt["rem"], 0, L)
-            row4 = pre_flat[lane_base + idx]
-            return dict(rem=stt["rem"] - 1,
-                        acc=stt["acc"] + row4[:, acc_ch].astype(jnp.int32))
+    def tv_cummax(valid):
+        pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+        inv_pos = jnp.where(~valid, pos, -1)
+        last_inv = lax.cummax(inv_pos, axis=1)
+        return jnp.concatenate(
+            [jnp.zeros((B, 1), jnp.int32), pos - last_inv], axis=1)
 
-        return lax.while_loop(cond, body, st)["acc"]
+    def run(name, tvf, combine, barrier_tv):
+        def f(codes, fl, fs):
+            valid = codes != 255
+            cc = jnp.where(valid, codes, 0).astype(jnp.int32)
+            k = kfull_f(cc)
+            kc = jnp.clip(k, 0, fl.shape[0] - 1)
+            g = fl[kc]
+            tv = tvf(valid)
+            if barrier_tv:
+                tv = lax.optimization_barrier(tv)
+            if combine:
+                ok = (tv >= pw) & (g > 0)
+                return jnp.where(ok, g, 0).sum()
+            return g.sum() + tv.sum()
+        tc, tr = compile_time(f, codes, fl, fs)
+        print("%-34s compile %6.1fs  run %6.2f ms" % (name, tc, tr * 1e3),
+              flush=True)
 
-    variants = [
-        ("pre only, ftab, no loop", dict(use_ftab=True, use_loop=False, acc_ch=0)),
-        ("loop, NO ftab, ch0", dict(use_ftab=False, use_loop=True, acc_ch=0)),
-        ("loop, ftab, ch3 (prevchar)", dict(use_ftab=True, use_loop=True, acc_ch=3)),
-        ("loop, ftab, ch0", dict(use_ftab=True, use_loop=True, acc_ch=0)),
-    ]
-    for name, kw in variants:
-        f = lambda c, l, kw=kw: precompute(c, l, **kw)
-        tl, tc, tr = compile_time(f, codes, lengths)
-        print("%-28s lower %5.1fs  compile %7.1fs  run %7.2f ms"
-              % (name, tl, tc, tr * 1e3), flush=True)
+    run("scan-tv, separate sums", tv_scan, False, False)
+    run("scan-tv, combined where", tv_scan, True, False)
+    run("scan-tv + barrier, combined", tv_scan, True, True)
+    run("cummax-tv, combined where", tv_cummax, True, False)
 
 
 if __name__ == "__main__":
     main()
+
+
+def windowed():
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.classify.engine_fused import ClassifierFused
+    from centrifuger_tpu.classify.params import ClassifierParam
+    fm, tax, seqlen, meta = load_index(os.path.join(CACHE, "ouridx"))
+    dev = ClassifierFused(fm, tax, ClassifierParam()).dev
+    B, L = 16384, 128
+    rng = np.random.default_rng(0)
+    codes = jnp.asarray(rng.integers(0, 4, (B, L), dtype=np.int32))
+    pw, bits = dev.pw, dev.code_bits
+    fl, fs = dev.ftab_len, dev.ftab_start
+
+    def f(codes, fl, fs):
+        valid = codes != 255
+        cc = jnp.where(valid, codes, 0).astype(jnp.int32)
+        parts = [cc[:, j:L - pw + j + 1] << (bits * j) for j in range(pw)]
+        core = parts[0]
+        for p in parts[1:]:
+            core = core + p
+        k = jnp.concatenate([jnp.zeros((B, pw), jnp.int32), core], axis=1)
+        kc = jnp.clip(k, 0, fl.shape[0] - 1)
+        g = fl[kc]
+        # tailvalid capped at pw via a pw-step windowed chain (NO scan):
+        # tv[p] = run length of valid chars ending at p-1, saturated at pw
+        vpad = jnp.concatenate([jnp.zeros((B, pw), bool), valid], axis=1)  # [B, L+pw]
+        tv = jnp.zeros((B, L + 1), jnp.int32)
+        for j in range(1, pw + 1):
+            # window position p-j  ->  vpad[:, p - j + pw]
+            vj = vpad[:, pw - j:pw - j + L + 1]
+            tv = jnp.where(vj & (tv == j - 1), j, tv)
+        ok = (tv >= pw) & (g > 0)
+        return jnp.where(ok, g, 0).sum() + (tv & 7).sum()
+
+    tc, tr = compile_time(f, codes, fl, fs)
+    print("windowed-tv, combined where        compile %6.1fs  run %6.2f ms"
+          % (tc, tr * 1e3), flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("W"):
+    windowed()
