@@ -179,29 +179,27 @@ def measure_ours(prefix):
     t_warm2 = time.time() - t0
     log("warm re-dispatch of one batch: %.2fs" % t_warm2)
 
-    # timed END-TO-END pass: FASTQ parse (reader thread, overlapped) + device
-    # classify + TSV format + write — the same work the reference binary is
-    # timed on (its own pipeline also overlaps input with classification).
+    # timed END-TO-END pass: FASTQ parse + read packing (producer thread,
+    # overlapped) + device classify + TSV format (finish workers) + write —
+    # the same work the reference binary is timed on (its own pipeline also
+    # overlaps input with classification).
     import threading
     import queue as _queue
     out_path = os.path.join(CACHE, "our_out.tsv")
     bq = _queue.Queue(maxsize=4)
 
     def producer():
-        for item in iter_fastq_batches(fq, BATCH_READS):
-            bq.put(item)
+        for ids, queries in iter_fastq_batches(fq, BATCH_READS):
+            reads, lengths, nr, Q0, Q, L = cl._pack_reads(queries)
+            bq.put((ids, queries, reads, lengths, nr, Q0))
         bq.put(None)
 
-    from collections import deque
-    idq = deque()  # read-id lists in flight; popped per finished batch
-
-    def qbatches():
+    def qitems():
         while True:
             item = bq.get()
             if item is None:
                 return
-            idq.append(item[0])
-            yield item[1]
+            yield item
 
     nreads = 0
     nclass = 0
@@ -211,12 +209,11 @@ def measure_ours(prefix):
     with open(out_path, "w") as outf:
         outf.write("readID\tseqID\ttaxID\tscore\t2ndBestScore\thitLength\t"
                    "queryLength\tnumMatches\n")
-        for packed, fb, queries in cl.query_pipelined_packed(qbatches()):
-            lines, nc = cl.format_tsv_batch(packed, fb, queries, idq.popleft())
+        for lines, nc, nq in cl.serve_tsv_prepacked(qitems()):
             outf.write("\n".join(lines))
             outf.write("\n")
             nclass += nc
-            nreads += len(queries)
+            nreads += nq
     th.join()
     dt = time.time() - t0
     rps = nreads / dt
@@ -305,7 +302,9 @@ def measure_paired(prefix):
     """Paired-end end-to-end reads/s (fragments/sec x 2 mates) on the same
     DB: mates sampled from the same genomes with a 250 bp insert."""
     import random
-    import make_fixture  # tools/ is on sys.path from ensure_fixture
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools"))
+    import make_fixture
     p1 = os.path.join(CACHE, "reads_p1.fq")
     p2 = os.path.join(CACHE, "reads_p2.fq")
     if not (os.path.exists(p1) and os.path.exists(p2)):

@@ -1,6 +1,6 @@
 """centrifuger_tpu: a TPU-native metagenomic classification engine.
 
-A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+A from-scratch JAX/XLA implementation of the capabilities of
 mourisl/centrifuger (Song & Langmead, Genome Biology 2024): run-block
 compressed BWT / FM-index over genome databases, batched backward-search
 classification, taxonomy LCA promotion, and abundance EM — redesigned for

@@ -46,8 +46,8 @@ class ClassifierFused(ClassifierJax):
                      # most U_CAP distinct best seqids, so K_OUT = U_CAP)
     L_MAX = 8192     # max read length on the fused path (int32 score bound)
 
-    def __init__(self, fm, taxonomy, param, protein=False):
-        super().__init__(fm, taxonomy, param, protein=protein)
+    def __init__(self, fm, taxonomy, param, protein=False, dev=None):
+        super().__init__(fm, taxonomy, param, protein=protein, dev=dev)
         self.stats["fallback_units"] = 0
         # When set, batches of <= bucket_q units are padded to bucket_q lanes
         # so a short tail batch reuses the main batch's compiled program
@@ -491,6 +491,46 @@ class ClassifierFused(ClassifierJax):
     def _finish_packed_ctx(self, ctx):
         packed, fb = self.finish_packed(ctx)
         return packed, fb, ctx["queries"]
+
+    def _dispatch_packed(self, reads, lengths, nr, Q0, queries):
+        """Dispatch from host-prepacked arrays (see _pack_reads) — lets a
+        producer thread do the packing so the serving thread only dispatches.
+        Nucleotide path only (reads = (pack2, vmask))."""
+        mhl = self.param.min_hit_len
+        L = reads[0].shape[1] * 4
+        H = max(L // (mhl + 1) + 1, 1)
+        Q = reads[0].shape[0] // nr
+        out = self.dev.fused_classify(
+            reads, lengths, nr, mhl, H, self.param.max_result,
+            self.param.max_result_per_hit_factor, self.K_OUT,
+            Q * self.U_CAP)
+        return dict(queries=queries, out=out, nr=nr, Q0=Q0)
+
+    def finish_tsv_ctx(self, ctx, read_ids):
+        """Worker-side finish INCLUDING TSV formatting: returns (lines,
+        classified_count, n_reads).  Keeps the serving thread to dispatch +
+        file writes only."""
+        packed, fb = self.finish_packed(ctx)
+        lines, ncls = self.format_tsv_batch(packed, fb, ctx["queries"],
+                                            read_ids)
+        return lines, ncls, len(ctx["queries"])
+
+    def serve_tsv_prepacked(self, items):
+        """Highest-throughput serving loop: `items` yields
+        (read_ids, queries, packed_reads, lengths, nr, Q0) — typically from a
+        producer thread running iter_fastq_batches + _pack_reads.  Yields
+        (lines, ncls, n_reads) per batch in order; dispatch, result pull,
+        fallback handling and TSV formatting all overlap across batches."""
+        from collections import deque
+        pool = self._finish_pool()
+        pend = deque()
+        for ids, queries, reads, lengths, nr, Q0 in items:
+            ctx = self._dispatch_packed(reads, lengths, nr, Q0, queries)
+            pend.append(pool.submit(self.finish_tsv_ctx, ctx, ids))
+            if len(pend) >= self.PIPELINE_DEPTH:
+                yield pend.popleft().result()
+        while pend:
+            yield pend.popleft().result()
 
     def query_pipelined_packed(self, batches):
         """Like query_pipelined but yields (packed, fallback_dict, queries)

@@ -39,9 +39,11 @@ def _bucket_size(x, floor=4096):
 
 
 class ClassifierJax(ClassifierNP):
-    def __init__(self, fm, taxonomy, param, protein=False):
+    def __init__(self, fm, taxonomy, param, protein=False, dev=None):
         super().__init__(fm, taxonomy, param, protein=protein)
-        self.dev = DeviceFM(fm)
+        # dev: optionally a pre-built DeviceFM — or a parallel.sharded
+        # .ShardedIndex for sharded-index serving (drop-in: same kernel API)
+        self.dev = dev if dev is not None else DeviceFM(fm)
         self.stats = {"fast_units": 0, "slow_units": 0}
 
     # ------------------------------------------------------------- primitives

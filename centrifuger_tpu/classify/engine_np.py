@@ -2,7 +2,7 @@
 
 This is the semantic reference for the framework: a faithful re-implementation
 of Classifier<FMseqclass> (reference Classifier.hpp) against which the batched
-JAX/Pallas engine is tested.  Per-read logic:
+JAX/XLA engine is tested.  Per-read logic:
 
   Query (Classifier.hpp:909-920)
    └ SearchForwardAndReverse (:496-569)

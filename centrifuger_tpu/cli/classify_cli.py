@@ -306,12 +306,25 @@ def main(argv=None):
         from ..io.fastq_fast import iter_fastq_batches
 
         bq2 = _queue.Queue(maxsize=4)
+        prepacked = not getattr(classifier, "protein", False) and \
+            hasattr(classifier, "serve_tsv_prepacked")
 
         def bulk_producer():
             try:
+                i = 0
                 for path in reads.file_names:
                     for item in iter_fastq_batches(path, batch_size):
-                        bq2.put(item)
+                        if i % args.n_ranks == args.rank:
+                            if prepacked:
+                                # pack on the producer thread too: the
+                                # serving thread only dispatches + writes
+                                ids, queries = item
+                                rd, ln, nr, Q0, _, _ = \
+                                    classifier._pack_reads(queries)
+                                bq2.put((ids, queries, rd, ln, nr, Q0))
+                            else:
+                                bq2.put(item)
+                        i += 1
                 bq2.put(None)
             except Exception as e:     # e.g. multi-line FASTQ -> surface it
                 bq2.put(e)
@@ -321,28 +334,38 @@ def main(argv=None):
         from collections import deque
         idq = deque()  # read-id lists in flight; popped per finished batch
 
-        def bulk_batches():
-            i = 0
+        def bulk_items():
             while True:
                 item = bq2.get()
                 if item is None:
                     return
                 if isinstance(item, Exception):
                     raise item
-                if i % args.n_ranks == args.rank:
-                    idq.append(item[0])
-                    yield item[1]
-                i += 1
+                yield item
 
-        for packed, fb, queries in classifier.query_pipelined_packed(
-                bulk_batches()):
-            lines, ncls = classifier.format_tsv_batch(
-                packed, fb, queries, idq.popleft())
-            if lines:
-                writer.fp.write("\n".join(lines) + "\n")
-            writer.total_cnt += len(queries)
-            writer.classified_cnt += ncls
-            rank_counts.append(len(lines))
+        def bulk_batches():
+            for item in bulk_items():
+                idq.append(item[0])
+                yield item[1]
+
+        if prepacked:
+            for lines, ncls, nq in classifier.serve_tsv_prepacked(
+                    bulk_items()):
+                if lines:
+                    writer.fp.write("\n".join(lines) + "\n")
+                writer.total_cnt += nq
+                writer.classified_cnt += ncls
+                rank_counts.append(len(lines))
+        else:
+            for packed, fb, queries in classifier.query_pipelined_packed(
+                    bulk_batches()):
+                lines, ncls = classifier.format_tsv_batch(
+                    packed, fb, queries, idq.popleft())
+                if lines:
+                    writer.fp.write("\n".join(lines) + "\n")
+                writer.total_cnt += len(queries)
+                writer.classified_cnt += ncls
+                rank_counts.append(len(lines))
         tb.join()
     else:
         t = threading.Thread(target=producer, daemon=True)

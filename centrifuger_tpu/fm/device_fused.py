@@ -23,42 +23,39 @@ IND_BLOCK = 256  # bits per indicator row
 
 
 def build_fused_stream(ps):
-    """ps: host PackedSeq with width==2. Returns uint32 [rows, 21]."""
+    """ps: host PackedSeq with width==2. Returns uint32 [rows, 21].
+    Fully vectorized (a per-row Python loop here cost ~9 minutes at 300 Mnt)."""
     assert ps.width == 2 and ps.sigma <= 4
     n = ps.n
-    nrows = n // OCC_BLOCK + 1
-    rows = np.zeros((max(nrows, 1), 21), dtype=np.uint32)
+    nrows = max(n // OCC_BLOCK + 1, 1)
+    rows = np.zeros((nrows, 21), dtype=np.uint32)
     occ = ps.occ  # [nblk, sigma] int64, counts before i*256
-    for c in range(ps.sigma):
-        rows[:, c] = occ[:nrows, c].astype(np.uint32)
+    rows[:, :ps.sigma] = occ[:nrows, :ps.sigma].astype(np.uint32)
     words = ps.words
     nw = len(words)
-    for r in range(nrows):
-        lo = r * 16
-        hi = min(lo + 16, nw)
-        if lo < nw:
-            rows[r, 5:5 + hi - lo] = words[lo:hi]
-        if lo > 0:
-            rows[r, 4] = words[lo - 1]
+    wpad = np.zeros(nrows * 16, dtype=np.uint32)
+    wpad[:min(nw, nrows * 16)] = words[:nrows * 16]
+    w2 = wpad.reshape(nrows, 16)
+    rows[:, 5:21] = w2
+    rows[1:, 4] = w2[:-1, 15]     # previous word of each row (row 0 has none)
     return jnp.asarray(rows)
 
 
 def build_fused_indicator(bv):
-    """bv: host Bitvector. Returns uint32 [rows, 10]."""
+    """bv: host Bitvector. Returns uint32 [rows, 10] (vectorized)."""
     n = bv.n
-    nrows = n // IND_BLOCK + 1
-    rows = np.zeros((max(nrows, 1), 10), dtype=np.uint32)
+    nrows = max(n // IND_BLOCK + 1, 1)
+    rows = np.zeros((nrows, 10), dtype=np.uint32)
     words = bv.words
     nw = len(words)
     # cum at 256-bit granularity == host cum at RANK_WORDS=8 words
-    for r in range(nrows):
-        rows[r, 0] = np.uint32(bv.cum[min(r, len(bv.cum) - 1)])
-        lo = r * 8
-        hi = min(lo + 8, nw)
-        if lo < nw:
-            rows[r, 2:2 + hi - lo] = words[lo:hi]
-        if lo > 0:
-            rows[r, 1] = words[lo - 1]
+    rows[:, 0] = bv.cum[np.minimum(np.arange(nrows), len(bv.cum) - 1)] \
+        .astype(np.uint32)
+    wpad = np.zeros(nrows * 8, dtype=np.uint32)
+    wpad[:min(nw, nrows * 8)] = words[:nrows * 8]
+    w2 = wpad.reshape(nrows, 8)
+    rows[:, 2:10] = w2
+    rows[1:, 1] = w2[:-1, 7]
     return jnp.asarray(rows)
 
 

@@ -1,6 +1,6 @@
 """Native (C++) components, loaded via ctypes with on-demand compilation.
 
-The compute path is JAX/XLA/Pallas; this package holds the host runtime's
+The compute path is JAX/XLA; this package holds the host runtime's
 native pieces: the linear-time suffix-array builder for offline index
 construction (sais.cpp) and, later, the streaming FASTQ parser.
 """

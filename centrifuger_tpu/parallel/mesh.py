@@ -4,10 +4,11 @@ The reference's only parallelism is single-node pthreads over a shared read
 batch (CentrifugerClass.cpp:552, :234-284).  The TPU-native equivalents:
 
   * data parallelism ("dp"): read lanes sharded across chips, the compressed
-    index replicated per chip; per-chip Pallas/XLA kernels run the backward
+    index replicated per chip; per-chip XLA kernels run the backward
     search chains; summary statistics merge with psum.
-  * (future) sharded-index mode for core_nt-scale databases: BWT shards per
-    chip with all-to-all routing of (read, sp, ep) state.
+  * sharded-index mode for core_nt-scale databases (parallel/sharded.py):
+    the big tables row-sharded per chip with all_gather + psum_scatter
+    request routing; per-chip bytes ~= total/D.
 
 `make_mesh` builds a 1-D "dp" mesh; `classify_dp_step` returns a jitted
 function whose inputs are batch-sharded and whose captured index arrays are

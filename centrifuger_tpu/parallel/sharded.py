@@ -197,21 +197,28 @@ class ShardedIndex:
             P(axis), rows, valid, arg_specs=(P(axis), P(axis)))
 
     def fused_classify(self, reads, lengths, nr, mhl, H, max_result,
-                       hitk_factor, k_out, u_cap):
+                       hitk_factor, k_out, r_cap, protein=False):
         """The full one-program classification (encode + chains + strand
         select + row expansion + resolve + score finalize) with units sharded
-        over the axis and every big-table access routed.  reads: [U, L] uint8,
-        U = Q * nr, Q divisible by D.  u_cap is the per-unit row budget
-        (replicated path: r_cap // Q).  Output arrays match DeviceFM
-        .fused_classify bit-for-bit."""
+        over the axis and every big-table access routed.  reads: [U, L] uint8
+        (or the 2-bit-packed pair), U = Q * nr, Q divisible by D.  Signature
+        matches DeviceFM.fused_classify (r_cap is the GLOBAL row budget;
+        per-unit budget r_cap // Q is preserved per shard), so the serving
+        engine can use a ShardedIndex as a drop-in device.  Output arrays
+        match the replicated path bit-for-bit."""
         from ..classify.device_engine import fused_classify as _fused
         axis = self.axis
         nr, mhl, H = int(nr), int(mhl), int(H)
+        U = (reads[0] if isinstance(reads, (tuple, list)) else reads).shape[0]
+        lanes_per_read = 6 if protein else 1
+        u_cap = int(r_cap) // max(U // lanes_per_read // nr, 1)
 
         def traced(view, rd, ln):
             u_local = (rd[0] if isinstance(rd, (tuple, list)) else rd).shape[0]
             return _fused(view, rd, ln, nr, mhl, H, max_result,
-                          hitk_factor, k_out, (u_local // nr) * u_cap)
+                          hitk_factor, k_out,
+                          (u_local // lanes_per_read // nr) * u_cap,
+                          protein=protein)
 
         out_specs = dict(packed=P(axis, None), hits=P(axis, None, None),
                          nhits=P(axis), fb_units=P(axis),
@@ -224,9 +231,27 @@ class ShardedIndex:
             reads_spec = P(axis, None)
         return self._launch(
             ("fusedcls", nr, mhl, H, int(max_result), int(hitk_factor),
-             int(k_out), int(u_cap), packed_in),
+             int(k_out), int(u_cap), packed_in, protein),
             traced, out_specs, reads, lengths,
             arg_specs=(reads_spec, P(axis)))
+
+    # attribute delegation so the serving engine can use a ShardedIndex as a
+    # drop-in `dev` (engine_fused reads these to pick code paths / fall back)
+    @property
+    def idtype(self):
+        return self.dev.idtype
+
+    @property
+    def fast(self):
+        return self.dev.fast
+
+    @property
+    def plain_rows(self):
+        return self.dev.plain_rows
+
+    def prefix_search(self, codes, ms):
+        # host-fallback boundary searches: replicated execution is fine (tiny)
+        return self.dev.prefix_search(codes, ms)
 
 
 # Backwards-compatible alias (round-3 API named the chain-search-only router)

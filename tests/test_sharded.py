@@ -72,9 +72,40 @@ def test_sharded_fused_classify_bit_identical():
     want = dev.fused_classify(raw, rl, 1, mhl, H, 1, 40, 8, U * 8)
     for D in (2, 8):
         sh = ShardedIndex(dev, make_mesh(n_devices=D), axis="dp")
-        got = sh.fused_classify(raw, rl, 1, mhl, H, 1, 40, 8, 8)
+        got = sh.fused_classify(raw, rl, 1, mhl, H, 1, 40, 8, U * 8)
         for k in ("packed", "hits", "nhits"):
             assert np.array_equal(np.asarray(got[k]), np.asarray(want[k])), (D, k)
+
+
+@needs_mesh
+def test_sharded_engine_end_to_end(tmp_path_factory):
+    """ClassifierFused with a ShardedIndex as its device must produce the
+    same results as with the replicated DeviceFM (sharded serving,
+    engine-integrated)."""
+    import os
+    from conftest import FIXTURE_DIR
+    from test_golden_classify import get_index
+    from centrifuger_tpu.build import load_index
+    from centrifuger_tpu.classify.engine_fused import ClassifierFused
+    from centrifuger_tpu.classify.params import ClassifierParam
+    from centrifuger_tpu.io.fastq_fast import iter_fastq_batches
+
+    prefix = get_index("tiny", tmp_path_factory)
+    fm, tax, seqlen, meta = load_index(prefix)
+    fq = os.path.join(FIXTURE_DIR, "tiny", "reads_1.fq")
+    _, queries = next(iter_fastq_batches(fq, 64))
+
+    cl_rep = ClassifierFused(fm, tax, ClassifierParam())
+    want = cl_rep.query_batch(queries)
+    sh = ShardedIndex(cl_rep.dev, make_mesh(n_devices=8), axis="dp")
+    cl_sh = ClassifierFused(fm, tax, ClassifierParam(), dev=sh)
+    got = cl_sh.query_batch(queries)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        assert (w.score, w.secondary_score, w.hit_length, w.tax_ids,
+                w.seq_names) == \
+               (g.score, g.secondary_score, g.hit_length, g.tax_ids,
+                g.seq_names)
 
 
 @needs_mesh
