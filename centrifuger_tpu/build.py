@@ -231,6 +231,7 @@ def save_index(prefix, fm, tax, seq_length, protein):
 def load_index(prefix):
     from .fm.index import FMIndexData
     fm = FMIndexData.load(prefix + ".fm.npz")
+    fm.source_prefix = prefix   # enables the derived-serving-table disk cache
     if os.path.exists(prefix + ".rowmap.npz"):
         fm.rowmap = np.load(prefix + ".rowmap.npz")["rowmap"]
     tax = Taxonomy.load(prefix + ".tax.npz")

@@ -55,6 +55,47 @@ from ..succinct.packed import OCC_BLOCK
 from ..succinct.bitvector import RANK_WORDS
 
 
+def _serve_cache_digest(fm):
+    """Cheap staleness guard for the derived serving-table cache."""
+    import hashlib
+    h = hashlib.sha1()
+    h.update(np.int64(fm.n).tobytes())
+    h.update(np.int64(fm.first_isa).tobytes())
+    sa = fm.sampled_sa
+    h.update(np.ascontiguousarray(sa[:: max(1, len(sa) // 64)]).tobytes())
+    return h.hexdigest()
+
+
+def serve_plain_rows_np(fm):
+    """The plain serving layout's fused-row table as a host array.
+
+    Derived from the run-block BWT (decode + repack); cached on disk next to
+    the index (<prefix>.serve_plain.npz, digest-guarded) because the decode
+    costs minutes at multi-hundred-Mnt scale on low-bandwidth hosts while the
+    table itself is ~0.33 bytes/char."""
+    cache = None
+    prefix = getattr(fm, "source_prefix", None)
+    if prefix:
+        cache = prefix + ".serve_plain.npz"
+        if os.path.exists(cache):
+            try:
+                z = np.load(cache)
+                if str(z["digest"]) == _serve_cache_digest(fm):
+                    return z["rows"]
+            except Exception:
+                pass
+    from .device_fused import build_fused_stream
+    from ..succinct.packed import PackedSeq
+    full = PackedSeq.from_codes(fm.bwt.decode(), fm.sigma)
+    rows = np.asarray(build_fused_stream(full))
+    if cache:
+        try:
+            np.savez(cache, rows=rows, digest=_serve_cache_digest(fm))
+        except Exception:
+            pass
+    return rows
+
+
 def _swar_match(w, c, width):
     """uint32 word(s) -> low-bit-per-slot mask of symbol slots equal to c."""
     if width == 2:
@@ -207,10 +248,7 @@ class DeviceFM:
         if self.fast:
             from .device_fused import build_mega_table
             if serve_layout == "plain":
-                from .device_fused import build_fused_stream
-                from ..succinct.packed import PackedSeq
-                full = PackedSeq.from_codes(fm.bwt.decode(), fm.sigma)
-                self.plain_rows = build_fused_stream(full)
+                self.plain_rows = jnp.asarray(serve_plain_rows_np(fm))
             else:
                 self.plain_rows = None
                 self.mega, self.m_ind, self.m_lit, self.m_run = build_mega_table(

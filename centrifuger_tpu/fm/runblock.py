@@ -181,7 +181,25 @@ class RunBlockSeq:
         return np.where(pos < 0, 0, r)
 
     def decode(self):
-        return self.access(np.arange(self.n))
+        """Full reconstruction of the sequence — structural, not rank-based:
+        literal positions are the lit stream verbatim (in order), run blocks
+        repeat their single symbol.  O(n) with small temporaries (the old
+        access(arange(n)) path cost ~10 minutes at 300 Mnt)."""
+        n, b = self.n, self.b
+        if n == 0:
+            return np.zeros(0, dtype=np.uint8)
+        bc = self.block_cnt
+        starts = np.arange(bc, dtype=np.int64) * b
+        lens_all = np.minimum(starts + b, n) - starts
+        is_run = self.indicator.access(np.arange(bc)) == 1
+        pos_is_run = np.repeat(is_run, lens_all)
+        out = np.empty(n, dtype=np.uint8)
+        if self.lit.n:
+            out[~pos_is_run] = self.lit.decode_all()
+        if self.run.n:
+            out[pos_is_run] = np.repeat(self.run.decode_all(),
+                                        lens_all[is_run])
+        return out
 
     def nbytes(self):
         return self.indicator.nbytes() + self.lit.nbytes() + self.run.nbytes()

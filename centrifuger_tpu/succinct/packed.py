@@ -97,11 +97,11 @@ class PackedSeq:
         nblk = div_ceil(max(n, 1), OCC_BLOCK) + 1
         occ = np.zeros((nblk, sigma), dtype=np.int64)
         if n > 0:
-            blk_ids = np.arange(n) // OCC_BLOCK
-            counts = np.zeros((nblk - 1, sigma), dtype=np.int64)
-            for c in range(sigma):
-                counts[:, c] = np.bincount(blk_ids, weights=(codes == c).astype(np.float64),
-                                           minlength=nblk - 1).astype(np.int64)
+            pad = (nblk - 1) * OCC_BLOCK - n
+            cp = np.concatenate([codes, np.full(pad, 255, np.uint8)]) \
+                .reshape(nblk - 1, OCC_BLOCK)
+            counts = np.stack([(cp == c).sum(axis=1, dtype=np.int64)
+                               for c in range(sigma)], axis=1)
             occ[1:] = np.cumsum(counts, axis=0)
         return cls(n, sigma, width, words, occ)
 
@@ -111,6 +111,15 @@ class PackedSeq:
         w = self.words[idx // self.per_word]
         sh = ((idx % self.per_word) * self.width).astype(np.uint32)
         return ((w >> sh) & np.uint32((1 << self.width) - 1)).astype(np.uint8)
+
+    def decode_all(self):
+        """All n codes, via broadcast word unpack (no per-position gather —
+        ~10x faster than access(arange(n)) for whole-stream decodes)."""
+        shifts = (np.arange(self.per_word, dtype=np.uint32) * self.width)
+        mask = np.uint32((1 << self.width) - 1)
+        out = ((self.words[:, None] >> shifts[None, :]) & mask) \
+            .astype(np.uint8).reshape(-1)
+        return out[:self.n]
 
     def rank_inclusive(self, c, idx):
         """count of code c in seq[0..idx] inclusive, vectorized over idx (and c)."""
