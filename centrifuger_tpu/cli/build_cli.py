@@ -39,6 +39,10 @@ def main(argv=None):
     ap.add_argument("--no-row-map", action="store_true",
                     help="skip the per-row LF-walk serving accelerator "
                          "(4 bytes/char; auto-enabled up to $CFR_ROWMAP_MAX)")
+    ap.add_argument("--emit-cfr", action="store_true",
+                    help="additionally write <prefix>.{1,2,3,4}.cfr in the "
+                         "reference centrifuger on-disk format (loadable by "
+                         "the reference binary; nucleotide indexes only)")
     args = ap.parse_args(argv)
 
     genome_files = list(args.ref)
@@ -68,14 +72,22 @@ def main(argv=None):
                            precompute_width=args.ftabchars,
                            rbbwt_b=args.rbbwt_b)
     build_mem = space_string_to_bytes(args.build_mem) if args.build_mem else 0
-    build_index(genome_files, args.taxonomy_tree, args.name_table,
-                conversion_table, conversion_at_file_level, args.output,
-                concat_same_taxid=args.concat_tax_genome,
-                ignore_uncategorized=args.ignore_uncategorized_genome,
-                subset_tax=args.subset_tax, params=params, protein=args.protein,
-                checkpoint=args.checkpoint, build_mem=build_mem,
-                bmax=args.bmax, dcv=args.dcv, threads=args.threads,
-                row_map=False if args.no_row_map else None)
+    fm, tax, seq_length = build_index(
+        genome_files, args.taxonomy_tree, args.name_table,
+        conversion_table, conversion_at_file_level, args.output,
+        concat_same_taxid=args.concat_tax_genome,
+        ignore_uncategorized=args.ignore_uncategorized_genome,
+        subset_tax=args.subset_tax, params=params, protein=args.protein,
+        checkpoint=args.checkpoint, build_mem=build_mem,
+        bmax=args.bmax, dcv=args.dcv, threads=args.threads,
+        row_map=False if args.no_row_map else None)
+    if args.emit_cfr:
+        if args.protein:
+            sys.stderr.write("--emit-cfr: protein (one-tree) layout not "
+                             "supported; skipping .cfr emission.\n")
+            return 1
+        from ..interop.cfr_write import save_cfr_index
+        save_cfr_index(fm, tax, seq_length, args.output)
     return 0
 
 
