@@ -25,6 +25,11 @@ FORMAT_CAMI = 2
 FORMAT_KREPORT = 3
 
 
+class _ColumnarFallback(Exception):
+    """Input the vectorized TSV parser cannot handle exactly (ragged rows,
+    non-digit numeric fields, pathological read ids) — row loop instead."""
+
+
 class _Assignment:
     __slots__ = ("targets", "weight", "count", "uniq_count")
 
@@ -97,12 +102,101 @@ class Quantifier:
     def load_read_assignments(self, path, min_score=0, min_hit_length=0):
         """LoadReadAssignments (reference Quantifier.hpp:515-622).
 
-        Streaming dict-based coalescing: every read's target tuple
-        accumulates (weight, count, uniqCount) in input order, and the final
-        assignment list is emitted in sorted key order — the same float
-        addition sequence as the reference's periodic sort-and-merge
-        (equal keys merge in input order there too), without ever holding
-        per-read objects, so a 10M-line TSV ingests in about a minute."""
+        Native fast path: one C++ pass over the file bytes
+        (native/tsvquant.cpp) does field split, the reference's
+        filter/grouping semantics, CalculateAssignmentWeight
+        (Quantifier.hpp:283-293) and per-target-tuple coalescing with
+        input-order double accumulation — the float addition sequence is
+        identical to the reference's sort-and-merge, so EM output stays
+        byte-identical; a 10M-line TSV ingests in seconds.  Falls back to
+        the row-by-row Python loop for stdin or when the native toolchain
+        is unavailable."""
+        if path != "-":
+            try:
+                return self._load_read_assignments_native(
+                    path, min_score, min_hit_length)
+            except _ColumnarFallback:
+                pass
+        return self._load_read_assignments_lines(path, min_score,
+                                                 min_hit_length)
+
+    def _load_read_assignments_native(self, path, min_score, min_hit_length):
+        import ctypes
+        from ..native import load
+        lib = load("tsvquant")
+        if lib is None:
+            raise _ColumnarFallback
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        if not getattr(lib, "_tsq_configured", False):
+            lib.tsq_parse.argtypes = [u8p, ctypes.c_int64, i64p, i64p,
+                                      ctypes.c_int64, ctypes.c_int64,
+                                      ctypes.c_int64, ctypes.c_int64]
+            lib.tsq_parse.restype = ctypes.c_void_p
+            lib.tsq_sizes.argtypes = [ctypes.c_void_p, i64p, i64p, i64p]
+            lib.tsq_export.argtypes = [ctypes.c_void_p, i64p, i64p, f64p,
+                                       f64p, f64p]
+            lib.tsq_destroy.argtypes = [ctypes.c_void_p]
+            lib._tsq_configured = True
+        if _is_gz(path):
+            with gzip.open(path, "rb") as f:
+                data = f.read()
+        else:
+            with open(path, "rb") as f:
+                data = f.read()
+        buf = np.frombuffer(bytearray(data), np.uint8)
+        m = self.tax._orig_to_compact
+        keys = np.fromiter(m.keys(), np.int64, len(m))
+        vals = np.fromiter(m.values(), np.int64, len(m))
+        order = np.argsort(keys, kind="stable")
+        keys = np.ascontiguousarray(keys[order])
+        vals = np.ascontiguousarray(vals[order])
+        h = lib.tsq_parse(
+            buf.ctypes.data_as(u8p), len(buf),
+            keys.ctypes.data_as(i64p), vals.ctypes.data_as(i64p),
+            len(keys), int(self.tax.node_cnt),
+            int(min_score), int(min_hit_length))
+        if not h:
+            raise _ColumnarFallback
+        try:
+            n = ctypes.c_int64()
+            tot = ctypes.c_int64()
+            uncls = ctypes.c_int64()
+            lib.tsq_sizes(h, ctypes.byref(n), ctypes.byref(tot),
+                          ctypes.byref(uncls))
+            n_, tot_ = n.value, tot.value
+            tlen = np.zeros(n_, np.int64)
+            tflat = np.zeros(max(tot_, 1), np.int64)
+            w = np.zeros(n_, np.float64)
+            c = np.zeros(n_, np.float64)
+            u = np.zeros(n_, np.float64)
+            if n_:
+                lib.tsq_export(h, tlen.ctypes.data_as(i64p),
+                               tflat.ctypes.data_as(i64p),
+                               w.ctypes.data_as(f64p),
+                               c.ctypes.data_as(f64p),
+                               u.ctypes.data_as(f64p))
+        finally:
+            lib.tsq_destroy(h)
+        self.unclassified_cnt = int(uncls.value)
+        out = []
+        off = 0
+        for i in range(n_):
+            a = _Assignment()
+            ln = int(tlen[i])
+            a.targets = [int(x) for x in tflat[off:off + ln]]
+            off += ln
+            a.weight = float(w[i])
+            a.count = float(c[i])
+            a.uniq_count = float(u[i])
+            out.append(a)
+        self.assignments = out
+
+    def _load_read_assignments_lines(self, path, min_score=0,
+                                     min_hit_length=0):
+        """Row-by-row fallback (stdin / ragged input): streaming dict-based
+        coalescing with the same float addition sequence."""
         self.assignments = []
         self.unclassified_cnt = 0
         if path == "-":
