@@ -404,18 +404,24 @@ def measure_big_db(cl_small, packs):
 
 
 def measure_rank_roofline(cl):
-    """Measured HBM bandwidth of the serving hot op — the fused-row rank
-    gather (_plain_rank_sym: one 84-byte row per rank) — at the chain-search
+    """Measured HBM bandwidth of the serving hot op — the wide fused-row rank
+    gather (_plain_rank_sym: one 512-byte row per rank) — at the chain-search
     access pattern, vs the chip's HBM peak (BASELINE.md asks for exactly
-    this).  Returns achieved GB/s and % of peak."""
+    this).  Returns achieved GB/s and % of peak.
+
+    Timing forces a VALUE FETCH: under the tunneled serving device
+    jax.block_until_ready returns before the computation finishes (measured:
+    a 1.1 TFLOP matmul "completes" in 0.2 ms), so dispatch-side timing
+    under-reports by orders of magnitude; round-4's 0.62%-of-peak roofline
+    was exactly this artifact."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     dev = cl.dev
     if dev.plain_rows is None:
         return None
-    M = 32768
-    iters = 64
+    M = 16384
+    iters = 512
     rng = np.random.default_rng(5)
     pos = jnp.asarray(rng.integers(0, dev.n - 1, M, dtype=np.int64)
                       .astype(np.int32))
@@ -431,20 +437,35 @@ def measure_rank_roofline(cl):
             pos = (pos + r + sym) % (d.n - 1)
             return (pos, acc + r)
         pos, acc = jax.lax.fori_loop(0, iters, step, (pos, jnp.zeros(M, jnp.int32)))
-        return acc
+        return acc.sum()
+
+    @jax.jit
+    def nop(x):
+        return x + 1
+
     f = jax.jit(body)
-    jax.block_until_ready(f(dev.arrs, pos, c))
-    t0 = time.time()
-    out = f(dev.arrs, pos, c)
-    jax.block_until_ready(out)
-    dt = time.time() - t0
-    bytes_moved = M * iters * 84   # one fused 84-byte row per rank
+    float(nop(jnp.zeros(())))
+    lat = 1e9
+    for _ in range(3):
+        t0 = time.time()
+        float(nop(jnp.zeros(())))
+        lat = min(lat, time.time() - t0)
+    float(f(dev.arrs, pos, c))      # warm (compile + fetch)
+    dt = 1e18
+    for _ in range(3):
+        t0 = time.time()
+        float(f(dev.arrs, pos, c))
+        dt = min(dt, time.time() - t0)
+    dt = max(dt - lat, 1e-9)
+    row_bytes = int(np.asarray(dev.plain_rows).shape[1]) * 4
+    bytes_moved = M * iters * row_bytes
     gbps = bytes_moved / dt / 1e9
     peak = float(os.environ.get("CFR_HBM_PEAK_GBPS", 819))  # v5e HBM
     return {"gather_gbps": round(gbps, 2), "hbm_peak_gbps": peak,
             "pct_peak": round(100 * gbps / peak, 2),
-            "note": "serialized 84B-row rank gathers (LF-chain access "
-                    "pattern), %d lanes" % M}
+            "rows_per_sec_m": round(M * iters / dt / 1e6, 1),
+            "note": "serialized %dB-row rank gathers (LF-chain access "
+                    "pattern), %d lanes, fetch-timed" % (row_bytes, M)}
 
 
 def ensure_ref_tsv():

@@ -59,6 +59,7 @@ def _serve_cache_digest(fm):
     """Cheap staleness guard for the derived serving-table cache."""
     import hashlib
     h = hashlib.sha1()
+    h.update(b"wide1920-v2")        # serving-row layout version
     h.update(np.int64(fm.n).tobytes())
     h.update(np.int64(fm.first_isa).tobytes())
     sa = fm.sampled_sa
@@ -69,14 +70,16 @@ def _serve_cache_digest(fm):
 def serve_plain_rows_np(fm):
     """The plain serving layout's fused-row table as a host array.
 
-    Derived from the run-block BWT (decode + repack); cached on disk next to
-    the index (<prefix>.serve_plain.npz, digest-guarded) because the decode
-    costs minutes at multi-hundred-Mnt scale on low-bandwidth hosts while the
-    table itself is ~0.33 bytes/char."""
+    512-byte wide rows (device_fused.build_fused_stream_wide): the TPU gather
+    sweet spot — measured ~7x the row fetch rate of 84-byte rows on v5e
+    (tools/r5/probe_w.py) at ~0.27 bytes/char of HBM.  Derived from the
+    run-block BWT (decode + repack); cached on disk next to the index
+    (<prefix>.serve_plain_w.npz, digest-guarded) because the decode costs
+    minutes at multi-hundred-Mnt scale on low-bandwidth hosts."""
     cache = None
     prefix = getattr(fm, "source_prefix", None)
     if prefix:
-        cache = prefix + ".serve_plain.npz"
+        cache = prefix + ".serve_plain_w.npz"
         if os.path.exists(cache):
             try:
                 z = np.load(cache)
@@ -84,10 +87,10 @@ def serve_plain_rows_np(fm):
                     return z["rows"]
             except Exception:
                 pass
-    from .device_fused import build_fused_stream
+    from .device_fused import build_fused_stream_wide
     from ..succinct.packed import PackedSeq
     full = PackedSeq.from_codes(fm.bwt.decode(), fm.sigma)
-    rows = np.asarray(build_fused_stream(full))
+    rows = np.asarray(build_fused_stream_wide(full))
     if cache:
         try:
             np.savez(cache, rows=rows, digest=_serve_cache_digest(fm))
@@ -229,28 +232,35 @@ class DeviceFM:
         self.b = fm.bwt.b
         self.b_lt_n = fm.bwt.b < fm.bwt.n
 
-        self.ind = DeviceBitvector(fm.bwt.indicator, idtype)
-        self.lit = DevicePacked(fm.bwt.lit, idtype)
-        self.run = DevicePacked(fm.bwt.run, idtype)
-        self.lit_empty = fm.bwt.lit.n == 0
-        self.run_empty = fm.bwt.run.n == 0
-
-        # fused mega-table layout (DNA + int32 fast path): all rank rows in one
-        # uint32 table so one backward_extend = two gather rounds total
-        self.fast = (fm.sigma == 4 and idtype == jnp.int32)
+        # fast fused serving: the wide plain-rows layout serves BOTH int32 and
+        # int64 (n >= 2^31) indexes; the run-block mega-table fast path is
+        # int32-only (its row math is 32-bit)
+        self.fast = fm.sigma == 4 and \
+            (idtype == jnp.int32 or serve_layout == "plain")
         # serving layout: "plain" decompresses the run-block BWT into one flat
-        # fused-row table at load time — one gather per rank instead of the
-        # indicator->stream round trip (~2.6 bits/char in HBM vs ~1.3-2
-        # compressed; a TPU-first speed/space tradeoff, the on-disk index stays
+        # wide fused-row table at load time — one 512-byte-row gather per rank
+        # instead of the indicator->stream round trip (~0.27 bytes/char in
+        # HBM; a TPU-first speed/space tradeoff, the on-disk index stays
         # run-block compressed)
         self.serve_layout = serve_layout
         self.plain_rows = None
+        plain_fast = self.fast and serve_layout == "plain"
+        if not plain_fast:
+            # run-block device mirrors: only the non-plain paths rank/access
+            # through them; skipping the build+upload in plain mode saves
+            # ~2 bits/char of HBM and minutes of load at multi-Gnt scale
+            self.ind = DeviceBitvector(fm.bwt.indicator, idtype)
+            self.lit = DevicePacked(fm.bwt.lit, idtype)
+            self.run = DevicePacked(fm.bwt.run, idtype)
+        else:
+            self.ind = self.lit = self.run = None
+        self.lit_empty = fm.bwt.lit.n == 0
+        self.run_empty = fm.bwt.run.n == 0
         if self.fast:
-            from .device_fused import build_mega_table
             if serve_layout == "plain":
                 self.plain_rows = jnp.asarray(serve_plain_rows_np(fm))
             else:
-                self.plain_rows = None
+                from .device_fused import build_mega_table
                 self.mega, self.m_ind, self.m_lit, self.m_run = build_mega_table(
                     fm.bwt.indicator, fm.bwt.lit, fm.bwt.run)
 
@@ -406,74 +416,83 @@ class DeviceFM:
         return self._runblock_rank_sym(c, pos)
 
     def _plain_rows_fetch(self, pos):
-        """Fused-row fetch for positions `pos` (axis-0 gather); the sharded
-        view overrides this with an all-to-all routed fetch."""
-        return self.plain_rows[(pos + 1) >> 8]
+        """Wide fused-row fetch for positions `pos` (axis-0 gather); the
+        sharded view overrides this with an all-to-all routed fetch.  Row ids
+        always fit int32 (n < 1920 * 2^31 guaranteed by the 40-bit occ cap),
+        so the gather indices stay 32-bit even for int64 indexes."""
+        from .device_fused import WIDE_BLOCK
+        return self.plain_rows[((pos + 1) // WIDE_BLOCK).astype(jnp.int32)]
 
     def _plain_rank_sym(self, c, pos):
-        """One-gather rank over the flat fused-row BWT table."""
+        """One-gather rank over the flat wide fused-row BWT table."""
         row = self._plain_rows_fetch(pos)
         return self._plain_rank_sym_from_rows(row, c, pos)
 
-    def _plain_lf(self, p):
-        """LF-mapping with ONE row gather: the stored symbol and its rank both
-        come from the same fused row (p >= 0).  Vector form (compile time)."""
-        row = self._plain_rows_fetch(p)
-        pos1 = p + 1
-        w = row[:, 5:21]                                          # [B, 16]
-        in_row = p - ((pos1 >> 8) << 8)
-        widx = in_row >> 4
-        j16 = jnp.arange(16, dtype=jnp.int32)[None, :]
-        w_sym = jnp.sum(jnp.where(j16 == widx[:, None], w, jnp.uint32(0)),
-                        axis=1, dtype=jnp.uint32) \
-            | jnp.where(in_row < 0, row[:, 4], jnp.uint32(0))
-        sym = ((w_sym >> ((p & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
-            .astype(jnp.int32)
-        c2 = sym.astype(jnp.uint32)
-        base = (jnp.where(c2 == 0, row[:, 0], 0)
-                + jnp.where(c2 == 1, row[:, 1], 0)
-                + jnp.where(c2 == 2, row[:, 2], 0)
-                + jnp.where(c2 == 3, row[:, 3], 0)).astype(jnp.int32)
-        upto = (pos1 & 255).astype(jnp.int32)
+    @staticmethod
+    def _wide_prefix_count(row, c2, pos1):
+        """Count symbol c2 in the first pos1 % WIDE_BLOCK slots of a wide
+        row's 120 data words (SWAR + masked popcount, all VPU)."""
+        from .device_fused import WIDE_BLOCK, WIDE_DATA, WIDE_OFF
+        w = row[:, WIDE_OFF:WIDE_OFF + WIDE_DATA]                 # [B, 120]
         x = ~(w ^ (c2 * jnp.uint32(0x55555555))[:, None])
         m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
-        nb = (jnp.clip(upto[:, None] - 16 * j16, 0, 16) * 2).astype(jnp.uint32)
+        upto = (pos1 % WIDE_BLOCK).astype(jnp.int32)
+        j = jnp.arange(WIDE_DATA, dtype=jnp.int32)[None, :]
+        nb = (jnp.clip(upto[:, None] - 16 * j, 0, 16) * 2).astype(jnp.uint32)
         mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
                          (jnp.uint32(1) << jnp.minimum(nb, 31)) - jnp.uint32(1))
-        cnt = jnp.sum(lax.population_count(m & mask), axis=1, dtype=jnp.int32)
-        rank = base + cnt
+        return jnp.sum(lax.population_count(m & mask), axis=1, dtype=jnp.int32)
+
+    @staticmethod
+    def _wide_sym(row, pos):
+        """Stored symbol at pos from its wide row (pos >= -1; the prev-word
+        column covers pos1 % WIDE_BLOCK == 0, where pos sits in the previous
+        block)."""
+        from .device_fused import WIDE_BLOCK, WIDE_DATA, WIDE_OFF, WIDE_PREV
+        w = row[:, WIDE_OFF:WIDE_OFF + WIDE_DATA]
+        pos1 = pos + 1
+        in_row = (pos - (pos1 // WIDE_BLOCK) * WIDE_BLOCK).astype(jnp.int32)
+        widx = in_row >> 4
+        j = jnp.arange(WIDE_DATA, dtype=jnp.int32)[None, :]
+        w_sym = jnp.sum(jnp.where(j == widx[:, None], w, jnp.uint32(0)),
+                        axis=1, dtype=jnp.uint32) \
+            | jnp.where(in_row < 0, row[:, WIDE_PREV], jnp.uint32(0))
+        return ((w_sym >> ((pos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
+            .astype(jnp.int32)
+
+    def _wide_occ(self, row, c2):
+        """occ checkpoint of symbol c2 from a wide row (arithmetic column
+        select keeps it in one fused kernel).  int64 indexes extend the u32
+        lo word with the packed hi byte (full 40-bit occ)."""
+        from .device_fused import WIDE_HI
+        lo = (jnp.where(c2 == 0, row[:, 0], 0)
+              + jnp.where(c2 == 1, row[:, 1], 0)
+              + jnp.where(c2 == 2, row[:, 2], 0)
+              + jnp.where(c2 == 3, row[:, 3], 0))
+        if self.idtype == jnp.int64:
+            hi = (row[:, WIDE_HI] >> (c2 * jnp.uint32(8))) & jnp.uint32(0xFF)
+            return (hi.astype(jnp.int64) << 32) | lo.astype(jnp.int64)
+        return lo.astype(jnp.int32)
+
+    def _plain_lf(self, p):
+        """LF-mapping with ONE wide-row gather: the stored symbol and its rank
+        both come from the same fused row (p >= 0)."""
+        row = self._plain_rows_fetch(p)
+        pos1 = p + 1
+        sym = self._wide_sym(row, p)
+        c2 = sym.astype(jnp.uint32)
+        rank = self._wide_occ(row, c2) + self._wide_prefix_count(row, c2, pos1)
         corr = ((sym == self.last_chr) & (p < self.first_isa)).astype(rank.dtype)
         return self.psum[sym] + rank + corr - 1
 
     def _plain_rank_sym_from_rows(self, row, c, pos):
-        """Rank/sym compute given pre-fetched fused rows (shared with the
-        sharded-index router, parallel/sharded.py).  Vector form over the 16
-        data words: ~15 HLO ops instead of an unrolled ~160 (compile time)."""
+        """Rank/sym compute given pre-fetched wide fused rows (shared with the
+        sharded-index router, parallel/sharded.py)."""
         pos1 = pos + 1
         c2 = c.astype(jnp.uint32)
-        base = (jnp.where(c2 == 0, row[:, 0], 0)
-                + jnp.where(c2 == 1, row[:, 1], 0)
-                + jnp.where(c2 == 2, row[:, 2], 0)
-                + jnp.where(c2 == 3, row[:, 3], 0)).astype(jnp.int32)
-        upto = (pos1 & 255).astype(jnp.int32)
-        w = row[:, 5:21]                                          # [B, 16]
-        x = ~(w ^ (c2 * jnp.uint32(0x55555555))[:, None])
-        m = x & (x >> jnp.uint32(1)) & jnp.uint32(0x55555555)
-        j16 = jnp.arange(16, dtype=jnp.int32)[None, :]
-        nb = (jnp.clip(upto[:, None] - 16 * j16, 0, 16) * 2).astype(jnp.uint32)
-        mask = jnp.where(nb >= 32, jnp.uint32(0xFFFFFFFF),
-                         (jnp.uint32(1) << jnp.minimum(nb, 31)) - jnp.uint32(1))
-        cnt = jnp.sum(lax.population_count(m & mask), axis=1,
-                      dtype=jnp.int32)
-        rank = jnp.where(pos < 0, 0, base + cnt)
-        in_row = pos - ((pos1 >> 8) << 8)
-        widx = in_row >> 4
-        w_sym = jnp.sum(jnp.where(j16 == widx[:, None], w, jnp.uint32(0)),
-                        axis=1, dtype=jnp.uint32) \
-            | jnp.where(in_row < 0, row[:, 4], jnp.uint32(0))
-        sym = ((w_sym >> ((pos & 15).astype(jnp.uint32) * 2)) & jnp.uint32(3)) \
-            .astype(jnp.int32)
-        return rank, sym
+        cnt = self._wide_prefix_count(row, c2, pos1)
+        rank = jnp.where(pos < 0, 0, self._wide_occ(row, c2) + cnt)
+        return rank, self._wide_sym(row, pos)
 
     def _runblock_rank_sym(self, c, pos):
         """Two gather rounds over the run-block mega-table (HBM-lean layout):
@@ -572,11 +591,18 @@ class DeviceFM:
         shortcut's BWT access coming from the same rows."""
         off = self.psum[c]
         if self.fast:
-            B = sp.shape[0]
-            r2, sym2 = self._fused_rank_sym(jnp.concatenate([c, c]),
-                                            jnp.concatenate([sp - 1, ep]))
-            r_sp, r_ep = r2[:B], r2[B:]
-            sym_ep = sym2[B:]
+            if self.plain_rows is not None:
+                # TWO separate row gathers (sp-1 and ep): measured faster than
+                # one concatenated [2B] gather — XLA pipelines independent
+                # gather ops in parallel (tools/r5/probe_w3.py split results)
+                r_sp, _ = self._plain_rank_sym(c, sp - 1)
+                r_ep, sym_ep = self._plain_rank_sym(c, ep)
+            else:
+                B = sp.shape[0]
+                r2, sym2 = self._fused_rank_sym(jnp.concatenate([c, c]),
+                                                jnp.concatenate([sp - 1, ep]))
+                r_sp, r_ep = r2[:B], r2[B:]
+                sym_ep = sym2[B:]
             corr_excl = ((c == self.last_chr) & (sp <= self.first_isa)).astype(r_sp.dtype)
             corr_incl = ((c == self.last_chr) & (ep < self.first_isa)).astype(r_ep.dtype)
             nsp = off + r_sp + corr_excl
@@ -641,32 +667,91 @@ class DeviceFM:
                          lambda s, r, v: s._resolve_rows_impl(r, v))
         return f(self.arrs, rows, valid)
 
+    def _sample_stored_here(self, cur):
+        """Arithmetic-only mirror of get_sampled_sa's `found` predicate (no
+        big-table gathers): first-ISA row, sampled row, genome-boundary
+        selected row (small sorted table), or end-marker row."""
+        found = (cur == self.first_isa) | (cur % self.sample_rate == 0)
+        if self.sel_rows is not None:
+            pos = jnp.searchsorted(self.sel_rows, cur)
+            pos_c = jnp.minimum(pos, len(self.sel_rows) - 1)
+            found = found | (self.sel_rows[pos_c] == cur)
+        elif self.has_end_marker and self.end_marker_sa is not None:
+            found = found | (cur < len(self.end_marker_sa))
+        return found
+
     def _resolve_rows_impl(self, rows, valid):
         """Batched LF-walk to a stored sample (BackwardToSampledSA).
         rows: [M] int; valid: [M] bool mask for padding lanes.
-        With the precomputed rowmap the whole walk is ONE gather."""
+        With the precomputed rowmap the whole walk is ONE gather.
+
+        The loop body performs ONLY the LF row gather plus arithmetic
+        stop checks; the sample VALUE gathers (sampled SA, boundary values,
+        end-marker table) run ONCE after the loop on the final rows —
+        narrow 4-byte gathers are ~4x slower per row than the wide 512-byte
+        row gather on TPU, so keeping them out of the up-to-sample_rate-step
+        walk is a big win (measured: resolve 229 ms -> tens of ms at 64k
+        lanes on a 300 Mnt index)."""
         if self.rowmap is not None:
             r = self._rowmap_fetch(jnp.clip(rows, 0, self.n - 1).astype(jnp.int32))
             return jnp.where(valid, r, 0).astype(self.idtype)
-        def cond(state):
-            _, pending, _ = state
-            return self._loop_any(pending)
 
-        def body(state):
-            cur, pending, out = state
-            found, val = self.get_sampled_sa(cur)
-            newly = pending & found
-            out = jnp.where(newly, val, out)
-            pending = pending & (~found)
-            nxt = self.lf(jnp.where(pending, cur, 0))
-            cur = jnp.where(pending, nxt, cur)
-            return cur, pending, out
+        # Row-sampled SA gives the walk a geometric tail (measured on a
+        # 300 Mnt index: 33% of lanes still walking after 16 steps, 1.4%
+        # after 64, all done by 192) — a plain lockstep while_loop pays the
+        # FULL lane width for the worst lane's ~170 steps.  Compaction fixes
+        # it: after each phase the surviving minority is packed (stable sort)
+        # into a 4x smaller buffer, so total gather work tracks M * E[steps]
+        # instead of M * max[steps].  Each shrink is preceded by a spill
+        # guard (keep stepping 8 at a time while survivors exceed the next
+        # capacity) so compaction can never drop a pending lane, and the
+        # final phase is an exact while_loop for the rare 100+-step
+        # stragglers.  Measured: 65k-lane resolve 214 ms -> ~30 ms.
+        it = self.idtype
 
-        rows = rows.astype(self.idtype)
-        out = jnp.zeros_like(rows)
-        pending = valid
-        _, _, out = lax.while_loop(cond, body, (rows, pending, out))
-        return out
+        def step_n(n_steps, state):
+            def body(i, st):
+                cur, pend = st
+                pend = pend & (~self._sample_stored_here(cur))
+                nxt = self.lf(jnp.where(pend, cur, 0))
+                return (jnp.where(pend, nxt, cur), pend)
+            return lax.fori_loop(0, n_steps, body, state)
+
+        rows = rows.astype(it)
+        M = rows.shape[0]
+        stopped = jnp.zeros(M, it)
+        ids = jnp.arange(M, dtype=jnp.int32)
+        cur, pend = rows, valid
+
+        plan = [(16, max(M // 4, 32)), (16, max(M // 16, 32)),
+                (32, max(M // 64, 32))]
+        for steps, cap in plan:
+            if cap >= M:
+                continue
+            cur, pend = step_n(steps, (cur, pend))
+            # spill guard: shrink only once the survivors fit (global
+            # reduction in sharded mode keeps every shard in lockstep)
+            cur, pend = lax.while_loop(
+                lambda st: self._loop_any(
+                    jnp.sum(st[1].astype(jnp.int32)) > cap),
+                lambda st: step_n(8, st), (cur, pend))
+            stopped = stopped.at[ids].set(cur)
+            order = jnp.argsort(jnp.where(pend, 0, 1).astype(jnp.int32),
+                                stable=True).astype(jnp.int32)
+            # barrier: sort output feeding gather indices melts the XLA:TPU
+            # fusion pass (see classify/device_engine.py module docstring)
+            sel = lax.optimization_barrier(order[:cap])
+            ids, cur, pend = ids[sel], cur[sel], pend[sel]
+            M = cap
+
+        # exact tail: tiny buffer, cond amortized over 8-step chunks
+        cur, pend = lax.while_loop(
+            lambda st: self._loop_any(st[1]),
+            lambda st: step_n(8, st), (cur, pend))
+        stopped = stopped.at[ids].set(cur)
+        # every valid lane now rests on a stored row: one value-gather round
+        _, val = self.get_sampled_sa(stopped)
+        return jnp.where(valid, val, 0).astype(it)
 
     # chain search -----------------------------------------------------------
 

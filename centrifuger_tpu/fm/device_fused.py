@@ -21,6 +21,59 @@ from jax import lax
 OCC_BLOCK = 256
 IND_BLOCK = 256  # bits per indicator row
 
+# Wide serving rows: 512-byte rows are the TPU gather sweet spot (measured on
+# v5e: XLA's row gather runs ~7x faster for >=64-word rows than for the
+# 21-word rows above — tools/r5/probe_w.py), and 512 B = one native tile.
+# Each row covers 1920 symbols:
+#   [occ_lo_A..occ_lo_T, occ_hi_packed, prev_last_word, w0..w119, pad2]
+# occ_hi_packed holds the four occ checkpoints' bits 32-39 as one byte per
+# symbol (hi_A | hi_C<<8 | hi_G<<16 | hi_T<<24), giving full 40-bit occ — the
+# SAME 512-byte row serves both the int32 fast path (hi word ignored) and
+# n >= 2^31 serving up to ~1.1 Tnt.
+WIDE_BLOCK = 1920
+WIDE_WORDS = 128
+WIDE_DATA = 120
+WIDE_OFF = 6      # first data word column
+WIDE_PREV = 5     # prev-last-word column
+WIDE_HI = 4       # packed occ-hi column
+
+
+def build_fused_stream_wide(ps):
+    """ps: host PackedSeq with width==2.  Returns uint32 [rows, 128] wide
+    fused rows (vectorized; layout above).  occ checkpoints are recomputed at
+    1920-symbol boundaries from per-word SWAR popcounts since PackedSeq's own
+    occ directory uses 256-symbol blocks."""
+    assert ps.width == 2 and ps.sigma <= 4
+    n = ps.n
+    assert n < (1 << 40), "wide rows store 40-bit occ checkpoints"
+    nrows = n // WIDE_BLOCK + 1
+    rows = np.zeros((nrows, WIDE_WORDS), dtype=np.uint32)
+    words = ps.words
+    need = nrows * WIDE_DATA
+    wpad = np.zeros(need, dtype=np.uint32)
+    wpad[:min(len(words), need)] = words[:need]
+    w2 = wpad.reshape(nrows, WIDE_DATA)
+    rows[:, WIDE_OFF:WIDE_OFF + WIDE_DATA] = w2
+    rows[1:, WIDE_PREV] = w2[:-1, WIDE_DATA - 1]
+    # row-boundary occ: rows r uses words [0, r*120) which all lie within the
+    # data region for every r <= n//1920 (1920 is a multiple of 16), so the
+    # zero padding never contributes counts for symbol 0
+    boundary = np.arange(nrows, dtype=np.int64) * WIDE_DATA
+    hi_packed = np.zeros(nrows, dtype=np.uint32)
+    for c in range(ps.sigma):
+        pat = np.uint32(c * 0x55555555)
+        x = ~(wpad ^ pat)
+        m = x & (x >> np.uint32(1)) & np.uint32(0x55555555)
+        pc = np.bitwise_count(m)
+        cum = np.concatenate([np.zeros(1, np.uint64),
+                              np.cumsum(pc, dtype=np.uint64)])
+        occ = cum[boundary]
+        rows[:, c] = (occ & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi_packed |= ((occ >> np.uint64(32)).astype(np.uint32)
+                      << np.uint32(8 * c))
+    rows[:, WIDE_HI] = hi_packed
+    return jnp.asarray(rows)
+
 
 def build_fused_stream(ps):
     """ps: host PackedSeq with width==2. Returns uint32 [rows, 21].

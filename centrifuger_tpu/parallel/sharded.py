@@ -70,7 +70,9 @@ class _ShardedFMView(DeviceFM):
             setattr(self, k, poison)   # `is not None` checks still pass
 
     def _plain_rows_fetch(self, pos):
-        return _routed_gather(self._tables["plain_rows"], (pos + 1) >> 8,
+        from ..fm.device_fused import WIDE_BLOCK
+        return _routed_gather(self._tables["plain_rows"],
+                              (pos + 1) // WIDE_BLOCK,
                               self._rps["plain_rows"], self._ax)
 
     def _rowmap_fetch(self, rows):

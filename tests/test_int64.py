@@ -52,12 +52,38 @@ assert jax.config.jax_enable_x64, "DeviceFM did not enable x64 for int64"
 assert dev64.idtype == jnp.int64
 assert np.asarray(dev64.psum).dtype == np.int64, \
     "int64 index arrays silently degraded to int32"
+assert dev64.fast, \
+    "int64 must keep the fused wide-row fast path (r4 verdict weak #3)"
+assert dev64.plain_rows is not None
 b = {k: np.asarray(v) for k, v in dev64.chain_search(codes, lengths, 23, 8).items()}
 rb = np.asarray(dev64.resolve_rows(rows, va))
 
 for k in ("nhits", "sp", "ep", "l", "off"):
     assert np.array_equal(a[k], b[k]), k
 assert np.array_equal(ra, rb), "resolve mismatch int32 vs int64"
+
+# full fused classify parity (raw reads in, packed results out)
+U, L2 = 16, 128
+raw = np.zeros((U, L2), np.uint8)
+rl = np.zeros(U, np.int32)
+for i, r in enumerate(reads[:U]):
+    raw[i, :len(r)] = np.frombuffer(bytes(r), np.uint8)
+    rl[i] = len(r)
+H = L2 // 24 + 1
+pa = np.asarray(dev32.fused_classify(raw, rl, 1, 23, H, 1, 40, 8, U * 8)["packed"])
+pb = np.asarray(dev64.fused_classify(raw, rl, 1, 23, H, 1, 40, 8, U * 8)["packed"])
+assert np.array_equal(pa, pb), "fused classify mismatch int32 vs int64"
+
+# int64 sharded fused classify on a virtual mesh (sharded x int64 x fused)
+ndev = len(jax.devices("cpu"))
+if ndev >= 2:
+    from centrifuger_tpu.parallel.mesh import make_mesh
+    from centrifuger_tpu.parallel.sharded import ShardedIndex
+    sh = ShardedIndex(dev64, make_mesh(n_devices=2), axis="dp")
+    ps = np.asarray(sh.fused_classify(raw, rl, 1, 23, H, 1, 40, 8, U * 8)["packed"])
+    assert np.array_equal(pa, ps), "int64 sharded fused classify mismatch"
+    per_chip, tot = sh.per_chip_bytes()
+    assert per_chip <= tot / 2 * 1.05 + 4096
 print("INT64-PARITY-OK")
 '''
 
