@@ -479,13 +479,15 @@ class ClassifierFused(ClassifierJax):
     # round trips are latency-bound (tens of ms each over a remote/tunneled
     # device link); running them in worker threads lets batch i's finish
     # overlap batch i+1's upload/compute AND batch i+2's finish latency.
-    # Two workers + FIFO futures keep output order deterministic.
-    PIPELINE_DEPTH = 4
+    # A finish does 2-3 sequential device fetches (~25 ms each through the
+    # tunnel), so 4 workers / 8 deep keeps the device queue fed; FIFO futures
+    # keep output order deterministic.
+    PIPELINE_DEPTH = 8
 
     def _finish_pool(self):
         if not hasattr(self, "_fin_pool"):
             from concurrent.futures import ThreadPoolExecutor
-            self._fin_pool = ThreadPoolExecutor(max_workers=2)
+            self._fin_pool = ThreadPoolExecutor(max_workers=4)
         return self._fin_pool
 
     def _finish_packed_ctx(self, ctx):

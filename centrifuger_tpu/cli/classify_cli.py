@@ -18,15 +18,28 @@ def log(msg):
     sys.stderr.write("[%s] %s\n" % (time.strftime("%a %b %d %H:%M:%S %Y"), msg))
 
 
-def make_classifier(fm, tax, param, protein, engine):
+def make_classifier(fm, tax, param, protein, engine, serve_layout="plain",
+                    no_rowmap=False, shards=0):
     if engine == "numpy":
         from ..classify.engine_np import ClassifierNP
         return ClassifierNP(fm, tax, param, protein=protein)
+    dev = None
+    if not protein and (serve_layout != "plain" or no_rowmap or shards > 1):
+        from ..fm.device import DeviceFM
+        if no_rowmap:
+            fm.rowmap = None
+        dev = DeviceFM(fm, serve_layout=serve_layout)
+        if shards > 1:
+            # single-process sharded-index serving: the big tables row-
+            # sharded over the first `shards` local devices (SURVEY 2.6-P4)
+            from ..parallel.mesh import make_mesh
+            from ..parallel.sharded import ShardedIndex
+            dev = ShardedIndex(dev, make_mesh(n_devices=shards), axis="dp")
     if engine == "jax":
         from ..classify.engine_jax import ClassifierJax
-        return ClassifierJax(fm, tax, param, protein=protein)
+        return ClassifierJax(fm, tax, param, protein=protein, dev=dev)
     from ..classify.engine_fused import ClassifierFused
-    return ClassifierFused(fm, tax, param, protein=protein)
+    return ClassifierFused(fm, tax, param, protein=protein, dev=dev)
 
 
 def main(argv=None):
@@ -55,6 +68,19 @@ def main(argv=None):
     ap.add_argument("--engine", choices=["numpy", "jax", "fused"],
                     default="fused",
                     help="compute engine (extension over the reference CLI)")
+    ap.add_argument("--serve-layout", choices=["plain", "runblock"],
+                    default="plain",
+                    help="device rank-table layout: 'plain' = wide fused "
+                         "rows (~0.27 B/char, fastest); 'runblock' = "
+                         "compressed run-block mega-table (less HBM)")
+    ap.add_argument("--no-rowmap", action="store_true",
+                    help="ignore the rowmap resolve accelerator even if the "
+                         "index carries one (the only legal mode at "
+                         "n >= 2^31; useful for apples-to-apples timing)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="shard the big index tables over this many local "
+                         "devices (single-process sharded-index serving; "
+                         "0/1 = replicated)")
     ap.add_argument("--batch-size", type=int, default=0,
                     help="reads per device batch (0 = auto)")
     ap.add_argument("--n-ranks", type=int, default=1,
@@ -159,7 +185,10 @@ def main(argv=None):
     if corrector is not None and has_barcode:
         corrector.collect_background(barcode_file, formatter)
 
-    classifier = make_classifier(fm, tax, param, protein, args.engine)
+    classifier = make_classifier(fm, tax, param, protein, args.engine,
+                                 serve_layout=args.serve_layout,
+                                 no_rowmap=args.no_rowmap,
+                                 shards=args.shards)
     log("Inferred --min-hitlen: %d" % classifier.param.min_hit_len)
 
     writer = ResultWriter()
@@ -191,6 +220,9 @@ def main(argv=None):
         merger = ReadPairMerger()
 
     batch_size = args.batch_size or 1024 * max(args.threads, 8)
+    if args.shards > 1:
+        # sharded serving: read lanes shard over the mesh axis too
+        batch_size = -(-batch_size // args.shards) * args.shards
 
     def iter_units():
         """Yield (r1, r2, barcode_read, umi_read) with formatting applied."""
