@@ -267,6 +267,11 @@ class DeviceFM:
         self.psum = jnp.asarray(fm.psum.astype(idtype))
         self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
         self.ftab_len = jnp.asarray(fm.ftab_len.astype(idtype))
+        # interleaved (start, len) rows: the lazy chain loop fetches both with
+        # ONE narrow gather per step instead of two
+        self.ftab2 = jnp.asarray(np.stack(
+            [fm.ftab_start.astype(idtype), fm.ftab_len.astype(idtype)],
+            axis=1))
         self.sampled_sa = jnp.asarray(fm.sampled_sa.astype(idtype))
         self.adjusted_sa0 = int(fm.adjusted_sa0)
         if fm.selected_rows is not None and len(fm.selected_rows) > 0:
@@ -298,8 +303,8 @@ class DeviceFM:
         # compilation cache misses whenever the index contents change.
         self.arrs = {}
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa",
-                  "rowmap"):
+                  "ftab2", "sampled_sa", "sel_rows", "sel_vals",
+                  "end_marker_sa", "rowmap"):
             v = getattr(self, k, None)
             if v is not None:
                 self.arrs[k] = v
@@ -319,8 +324,8 @@ class DeviceFM:
         while the arrays flow in as jit arguments."""
         obj = copy.copy(self)
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "sampled_sa", "sel_rows", "sel_vals", "end_marker_sa",
-                  "rowmap"):
+                  "ftab2", "sampled_sa", "sel_rows", "sel_vals",
+                  "end_marker_sa", "rowmap"):
             if k in arrs:
                 setattr(obj, k, arrs[k])
         for sub in ("ind", "lit", "run"):
@@ -803,12 +808,20 @@ class DeviceFM:
         return f(self.arrs, codes, lengths)
 
     def _chain_search_impl(self, codes, lengths, mhl, H):
-        """Dispatch: the ftab-free loop is both faster (no per-batch ftab
-        gather tables, 1 tiny + 1 row gather per step) and simpler, but its
-        sub-`pw` consumption emulation assumes chains shorter than the ftab
-        width are never recorded as hits — true whenever mhl > pw."""
-        if mhl > self.pw:
-            return self._chain_search_noftab_impl(codes, lengths, mhl, H)
+        """Dispatch.  Chains MUST start through the ftab: starting from the
+        full interval and extending char-by-char is NOT equivalent — the
+        displaced-last-char BWT rotation (FMIndex.hpp:352-362) makes
+        from-scratch extension lossy for suffixes that graze the rotated
+        region, and the reference's own searches always begin at ftab depth
+        (GetBackwardSearchInitialRange, FMIndex.hpp:388-422).  A round-4
+        "noftab" emulation of ftab-failure semantics produced wrong chains on
+        real Legionella sequence (tests/test_real_sequence.py) and was
+        removed.  The lazy variant gathers ftab entries in-loop ([B] per
+        step, overlapped with the wide rank gathers) instead of the eager
+        [B*(L+1)] precompute; it requires the per-position (kmer, tailvalid,
+        char) pack to fit an int32."""
+        if self.code_bits * self.pw + 9 <= 31:
+            return self._chain_search_lazyftab_impl(codes, lengths, mhl, H)
         return self._chain_search_ftab_impl(codes, lengths, mhl, H)
 
     # number of chain-loop body steps per while_loop iteration: amortizes the
@@ -817,47 +830,42 @@ class DeviceFM:
     # time of the fused program substantially.
     CHAIN_UNROLL = 2
 
-    def _chain_search_noftab_impl(self, codes, lengths, mhl, H):
-        """Semi-maximal hit chains WITHOUT the ftab accelerator.
+    def _chain_search_lazyftab_impl(self, codes, lengths, mhl, H):
+        """Semi-maximal hit chains with EXACT ftab-start semantics and lazy
+        in-loop ftab gathers.
 
-        Every chain starts from the full interval (0, n-1) and extends
-        char-by-char; by the FM-index invariant the interval after p valid
-        extends equals the ftab entry for that p-mer, so hits (l >= mhl > pw)
-        are bit-identical to the ftab path.  What the ftab path changes is
-        only how many characters a FAILED short chain consumes
-        (GetBackwardSearchInitialRange, reference FMIndex.hpp:388-422):
-          * invalid char at depth d            -> l = d        (both paths)
-          * interval empty at depth d <  pw    -> l = tailvalid if tailvalid
-            < pw else pw - 1                    (ftab failure semantics)
-          * interval empty at depth d >= pw    -> l = d
-          * chain start with rem < pw          -> l = 0
-        The tailvalid cases are handled WITHOUT a per-(lane, position) table:
-        when an interval empties at depth < pw the lane enters a SCAN mode
-        that keeps reading characters (no extends) until it sees an invalid
-        char (fin_l = depth == tailvalid) or reaches depth pw-1 with all
-        chars valid (fin_l = pw-1).  Interval-empty-below-pw is rare (absent
-        p-mers), so the extra scan iterations are noise, and the loop body
-        needs only ONE char gather ([B], small table) and ONE backward_extend
-        (a [2B] fused-row gather) per step — no per-(lane, position) ftab
-        tables at all, which removes ~4M gather descriptors per 16k-lane
-        batch relative to the ftab path.
-        """
+        Same state machine as _chain_search_ftab_impl (START jumps to the
+        precomputed pw-mer range, EXTEND does one BackwardExtend per char,
+        GetBackwardSearchInitialRange failure semantics — reference
+        FMIndex.hpp:388-422), but instead of eagerly gathering ftab entries
+        for every (lane, position) up front (a [B*(L+1)]-row gather, ~32 ms
+        per 16k-lane batch), the loop gathers ftab_start/ftab_len for [B]
+        kmers per step.  Those narrow gathers are independent of the wide
+        rank-row gathers of extending lanes, so XLA pipelines them in
+        parallel; per-position (kmer, tailvalid, prev-char) ship as ONE
+        packed int32 table (requires code_bits*pw + 9 <= 31)."""
         B, L = codes.shape
         it = self.idtype
         pw = self.pw
-        codes_flat = codes.astype(jnp.int32).reshape(B * L)
-        lane_baseL = jnp.arange(B, dtype=jnp.int32) * L
+        kfull, tailvalid = self._precompute_read_tables(codes)
+        kc = jnp.clip(kfull, 0, self.ftab_len.shape[0] - 1).astype(jnp.int32)
+        prev_char = jnp.concatenate(
+            [jnp.full((B, 1), 255, jnp.int32), codes.astype(jnp.int32)],
+            axis=1)
+        char5 = jnp.where(prev_char == 255, 31, prev_char)     # 5 bits
+        pk = (kc << 9) | (tailvalid.astype(jnp.int32) << 5) | char5
+        pk_flat = pk.reshape(B * (L + 1))
+        lane_base = jnp.arange(B, dtype=jnp.int32) * (L + 1)
 
         lengths = lengths.astype(jnp.int32)
-        n_full = jnp.asarray(self.n - 1, it)
         state = dict(
             rem=lengths,
             l=jnp.zeros(B, jnp.int32),
             sp=jnp.zeros(B, it),
-            ep=jnp.broadcast_to(n_full, (B,)),
-            scan=jnp.zeros(B, bool),
+            ep=jnp.zeros(B, it),
+            phase=jnp.zeros(B, jnp.int32),  # 0 = START, 1 = EXTEND
             nhits=jnp.zeros(B, jnp.int32),
-            hits=jnp.zeros((B, H, 4), it),
+            hits=jnp.zeros((B, H, 4), it),  # packed (sp, ep, l, off)
         )
         slots = jnp.arange(H, dtype=jnp.int32)[None, :]
 
@@ -865,45 +873,56 @@ class DeviceFM:
             return self._loop_any(st["rem"] >= mhl)
 
         def step(st):
+            active = st["rem"] >= mhl
+            start = active & (st["phase"] == 0)
+            extend = active & (st["phase"] == 1)
             rem = st["rem"]
-            l = st["l"]
-            active = rem >= mhl
-            in_scan = active & st["scan"]
-            in_ext = active & (~st["scan"])
-            # char at depth l (read position rem-1-l)
-            cpos = jnp.clip(rem - 1 - l, 0, L - 1)
-            c = codes_flat[lane_baseL + cpos]
-            c_invalid = c == 255
+
+            idx = jnp.clip(jnp.where(st["phase"] == 0, rem, rem - st["l"]),
+                           0, L)
+            pkv = pk_flat[lane_base + idx]
+            c = pkv & 31
+            tv = (pkv >> 5) & 15
+            kmer = pkv >> 9
+            # lazy ftab fetch: [B] gathers, masked to kmer 0 on non-start
+            # lanes so the rows stay in-range
+            km = jnp.where(start, kmer, 0)
+            row2 = self.ftab2[km]
+            fsp, flen = row2[:, 0], row2[:, 1]
+            ftab_ok = (tv >= pw) & (flen > 0) & (idx >= pw)
+            fep = fsp + flen - 1
+            start_done_now = ftab_ok & (pw >= rem)
+            lfail = jnp.where(idx < pw, 0,
+                              jnp.where(tv < pw, tv, pw - 1)).astype(jnp.int32)
+            start_l = jnp.where(ftab_ok, pw, lfail)
+
+            # ---- EXTEND: one BackwardExtend step ----
+            c_invalid = c == 31
             c_safe = jnp.where(c_invalid, 0, c)
             nsp, nep = self.backward_extend(
-                jnp.where(in_ext, c_safe, 0),
-                jnp.where(in_ext, st["sp"], 0),
-                jnp.where(in_ext, st["ep"], jnp.ones_like(st["ep"])))
+                jnp.where(extend, c_safe, 0),
+                jnp.where(extend, st["sp"], 0),
+                jnp.where(extend, st["ep"], 0))
+            ext_fail = extend & (c_invalid | (nsp > nep))
+            ext_ok = extend & (~ext_fail)
+            new_l = st["l"] + 1
+            ext_done = ext_ok & (new_l >= rem)   # matched entire prefix
 
-            # ---- extend-mode outcomes ----
-            short_start = in_ext & (l == 0) & (rem < pw)
-            ext_fail = in_ext & (~short_start) & (c_invalid | (nsp > nep))
-            ext_ok = in_ext & (~short_start) & (~ext_fail)
-            new_l = l + 1
-            ext_done = ext_ok & (new_l >= rem)
-            # interval emptied below ftab depth (char itself valid): the ftab
-            # path would consume min(tailvalid, pw-1)+1 chars -> scan mode,
-            # starting validation at depth l+1 (chars 0..l already valid)
-            to_scan = ext_fail & (~c_invalid) & (l < pw) & (new_l < pw)
-            die_pw = ext_fail & (~c_invalid) & (l < pw) & (new_l >= pw)
-            ext_die = (ext_fail & ~(to_scan | die_pw)) | die_pw
+            # ---- merge outcomes ----
+            fin_start = start & ((~ftab_ok) | start_done_now)
+            fin_ext = ext_fail | ext_done
+            fin = fin_start | fin_ext
 
-            # ---- scan-mode outcomes ----
-            scan_die_inval = in_scan & c_invalid                  # fin_l = l
-            scan_done = in_scan & (~c_invalid) & (new_l >= pw)    # fin_l=pw-1
-            scan_cont = in_scan & (~c_invalid) & (new_l < pw)
-
-            fin = short_start | ext_die | ext_done | scan_die_inval | scan_done
-            fin_l = jnp.where(ext_done, new_l, l)
-            fin_l = jnp.where(die_pw | scan_done, pw - 1, fin_l)
-            fin_l = jnp.where(short_start, 0, fin_l)
-            fin_sp = jnp.where(ext_done, nsp, st["sp"])
-            fin_ep = jnp.where(ext_done, nep, st["ep"])
+            fin_l = jnp.where(fin_start, start_l,
+                              jnp.where(ext_done, new_l, st["l"]))
+            fin_sp = jnp.where(fin_start,
+                               jnp.where(start_done_now, fsp,
+                                         jnp.ones_like(fsp)), st["sp"])
+            fin_ep = jnp.where(fin_start,
+                               jnp.where(start_done_now, fep,
+                                         jnp.zeros_like(fep)), st["ep"])
+            fin_sp = jnp.where(ext_done, nsp, fin_sp)
+            fin_ep = jnp.where(ext_done, nep, fin_ep)
 
             st2 = dict(st)
             cond_hit = fin & (fin_l >= mhl) & (fin_sp <= fin_ep) & \
@@ -915,15 +934,17 @@ class DeviceFM:
             st2["hits"] = jnp.where(sel[:, :, None], new, st["hits"])
             st2["nhits"] = st["nhits"] + cond_hit.astype(jnp.int32)
 
-            st2["sp"] = jnp.where(fin, jnp.zeros_like(nsp),
+            go_extend = start & ftab_ok & (~start_done_now)
+            st2["sp"] = jnp.where(go_extend, fsp,
                                   jnp.where(ext_ok, nsp, st["sp"]))
-            st2["ep"] = jnp.where(fin, jnp.broadcast_to(n_full, nep.shape),
+            st2["ep"] = jnp.where(go_extend, fep,
                                   jnp.where(ext_ok, nep, st["ep"]))
-            st2["l"] = jnp.where(fin, 0,
-                                 jnp.where(ext_ok | to_scan | scan_cont,
-                                           new_l, l))
-            st2["scan"] = (st["scan"] | to_scan) & (~fin)
+            st2["l"] = jnp.where(go_extend, pw,
+                                 jnp.where(ext_ok, new_l, st["l"]))
+            st2["phase"] = jnp.where(fin, 0, jnp.where(go_extend, 1,
+                                                       st["phase"]))
             st2["rem"] = jnp.where(fin, rem - (fin_l + 1), rem)
+            st2["l"] = jnp.where(fin, 0, st2["l"])
             return st2
 
         def body(st):
