@@ -163,6 +163,16 @@ def measure_ours(prefix):
 
     platform = jax.devices()[0].platform
     log("device platform: %s" % platform)
+    # The tunneled serving device stalls the FIRST device->host fetch of a
+    # process for anywhere from seconds to ~6 minutes (environmental lease/
+    # handshake; measured 5 s to 380 s across runs with identical code).
+    # Time it separately so warmup_cold_sec reports OUR compile+dispatch cost
+    # rather than the tunnel's mood.
+    import jax.numpy as jnp
+    t0 = time.time()
+    float(jax.jit(lambda x: x + 1)(jnp.zeros(())))
+    t_first_fetch = time.time() - t0
+    log("first device fetch (tunnel handshake): %.1fs" % t_first_fetch)
     fm, tax, seqlen, meta = load_index(prefix)
     cl = ClassifierFused(fm, tax, ClassifierParam())
     cl.bucket_q = BATCH_READS   # pad the tail batch: ONE compiled program
@@ -248,7 +258,8 @@ def measure_ours(prefix):
     L = packs[0][0][0].shape[1] * 4   # reads arrive 2-bit packed
     dev_rps = _device_only_rps(cl, cl.dev, packs, mhl, L)
     log("device fused-classify only: %.0f reads/s" % dev_rps)
-    return rps, dev_rps, platform, t_warm, t_warm2, tsv_identical, cl, packs
+    return (rps, dev_rps, platform, t_warm, t_warm2, tsv_identical,
+            cl, packs, t_first_fetch)
 
 
 def _pack_batches(cl, fq, n_batches=None):
@@ -565,14 +576,15 @@ def main():
     baseline = measure_reference()
     ensure_ref_tsv()
     prefix = ensure_our_index()
-    rps, dev_rps, platform, t_warm, t_warm2, tsv_ok, cl, packs = \
-        measure_ours(prefix)
+    (rps, dev_rps, platform, t_warm, t_warm2, tsv_ok, cl, packs,
+     t_first_fetch) = measure_ours(prefix)
     vs = (rps / baseline) if baseline else None
     extra = {
         "device_fused_classify_reads_per_sec": round(dev_rps, 1),
         "baseline_reference_reads_per_sec": round(baseline, 1) if baseline else None,
         "platform": platform,
         "warmup_cold_sec": round(t_warm, 1),
+        "tunnel_first_fetch_sec": round(t_first_fetch, 1),
         "warm_batch_sec": round(t_warm2, 3),
         "tsv_identical_to_reference": tsv_ok,
         "db_nt": DB_NT, "n_reads": N_READS, "read_len": READ_LEN,

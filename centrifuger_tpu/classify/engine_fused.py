@@ -63,7 +63,9 @@ class ClassifierFused(ClassifierJax):
             # translated search runs fused too: the chain/resolve kernels fall
             # back to the generic run-block rank path (sigma > 4)
             return True
-        return self.dev.fast and self.dev.plain_rows is not None
+        # fast covers BOTH serving layouts (wide plain rows, or the run-block
+        # mega-table for int32) — the fused program dispatches internally
+        return self.dev.fast
 
     # --------------------------------------------------------------- batching
 
