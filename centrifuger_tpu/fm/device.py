@@ -268,10 +268,22 @@ class DeviceFM:
         self.ftab_start = jnp.asarray(fm.ftab_start.astype(idtype))
         self.ftab_len = jnp.asarray(fm.ftab_len.astype(idtype))
         # interleaved (start, len) rows: the lazy chain loop fetches both with
-        # ONE narrow gather per step instead of two
-        self.ftab2 = jnp.asarray(np.stack(
-            [fm.ftab_start.astype(idtype), fm.ftab_len.astype(idtype)],
-            axis=1))
+        # ONE gather per step instead of two.  For int32 indexes the flat
+        # interleaved table is additionally reshaped to 128-word (512 B) rows:
+        # fetching the wide row containing the two words and column-selecting
+        # arithmetically is ~4x faster than a narrow 2-word gather on v5e
+        # (tools/r5/probe_wordfetch.py).
+        ftab2 = np.stack([fm.ftab_start.astype(idtype),
+                          fm.ftab_len.astype(idtype)], axis=1)
+        self.ftab2 = jnp.asarray(ftab2)
+        if idtype == jnp.int32:
+            flat = ftab2.reshape(-1)
+            r2 = (len(flat) + 127) // 128
+            pad = np.zeros(r2 * 128, ftab2.dtype)
+            pad[:len(flat)] = flat
+            self.ftab2w = jnp.asarray(pad.reshape(r2, 128))
+        else:
+            self.ftab2w = None
         self.sampled_sa = jnp.asarray(fm.sampled_sa.astype(idtype))
         self.adjusted_sa0 = int(fm.adjusted_sa0)
         if fm.selected_rows is not None and len(fm.selected_rows) > 0:
@@ -303,7 +315,7 @@ class DeviceFM:
         # compilation cache misses whenever the index contents change.
         self.arrs = {}
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "ftab2", "sampled_sa", "sel_rows", "sel_vals",
+                  "ftab2", "ftab2w", "sampled_sa", "sel_rows", "sel_vals",
                   "end_marker_sa", "rowmap"):
             v = getattr(self, k, None)
             if v is not None:
@@ -324,7 +336,7 @@ class DeviceFM:
         while the arrays flow in as jit arguments."""
         obj = copy.copy(self)
         for k in ("plain_rows", "mega", "psum", "ftab_start", "ftab_len",
-                  "ftab2", "sampled_sa", "sel_rows", "sel_vals",
+                  "ftab2", "ftab2w", "sampled_sa", "sel_rows", "sel_vals",
                   "end_marker_sa", "rowmap"):
             if k in arrs:
                 setattr(obj, k, arrs[k])
@@ -855,6 +867,13 @@ class DeviceFM:
         char5 = jnp.where(prev_char == 255, 31, prev_char)     # 5 bits
         pk = (kc << 9) | (tailvalid.astype(jnp.int32) << 5) | char5
         pk_flat = pk.reshape(B * (L + 1))
+        # wide-row word-fetch layout (see ftab2w note in __init__): pad the
+        # flat table to [R, 128] so the in-loop fetch rides the fast 512-byte
+        # row-gather path; the word is column-selected arithmetically
+        rpk = (B * (L + 1) + 127) // 128
+        pk_pad = jnp.zeros(rpk * 128, jnp.int32).at[:B * (L + 1)].set(
+            pk_flat).reshape(rpk, 128)
+        j128 = jnp.arange(128, dtype=jnp.int32)[None, :]
         lane_base = jnp.arange(B, dtype=jnp.int32) * (L + 1)
 
         lengths = lengths.astype(jnp.int32)
@@ -880,15 +899,25 @@ class DeviceFM:
 
             idx = jnp.clip(jnp.where(st["phase"] == 0, rem, rem - st["l"]),
                            0, L)
-            pkv = pk_flat[lane_base + idx]
+            q = lane_base + idx
+            pkrow = pk_pad[q >> 7]
+            pkv = jnp.sum(jnp.where(j128 == (q & 127)[:, None], pkrow, 0),
+                          axis=1)
             c = pkv & 31
             tv = (pkv >> 5) & 15
             kmer = pkv >> 9
-            # lazy ftab fetch: [B] gathers, masked to kmer 0 on non-start
-            # lanes so the rows stay in-range
+            # lazy ftab fetch, masked to kmer 0 on non-start lanes so the
+            # rows stay in-range
             km = jnp.where(start, kmer, 0)
-            row2 = self.ftab2[km]
-            fsp, flen = row2[:, 0], row2[:, 1]
+            if self.ftab2w is not None:
+                q2 = km * 2                       # even -> both words share
+                frow = self.ftab2w[q2 >> 7]       # one 512-byte row
+                col = (q2 & 127)[:, None]
+                fsp = jnp.sum(jnp.where(j128 == col, frow, 0), axis=1)
+                flen = jnp.sum(jnp.where(j128 == col + 1, frow, 0), axis=1)
+            else:
+                row2 = self.ftab2[km]
+                fsp, flen = row2[:, 0], row2[:, 1]
             ftab_ok = (tv >= pw) & (flen > 0) & (idx >= pw)
             fep = fsp + flen - 1
             start_done_now = ftab_ok & (pw >= rem)
