@@ -208,9 +208,8 @@ def measure_ours(prefix):
         bq2 = _queue.Queue(maxsize=4)
 
         def producer2(q=bq2):
-            for ids, queries in iter_fastq_batches(fq, BATCH_READS):
-                reads, lengths, nr, Q0, Q, L = cl._pack_reads(queries)
-                q.put((ids, queries, reads, lengths, nr, Q0))
+            for item in cl.iter_prepacked(fq, BATCH_READS):
+                q.put(item)
             q.put(None)
 
         def qitems2(q=bq2):

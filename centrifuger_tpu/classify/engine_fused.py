@@ -519,6 +519,26 @@ class ClassifierFused(ClassifierJax):
                                             read_ids)
         return lines, ncls, len(ctx["queries"])
 
+    def iter_prepacked(self, path, batch_size):
+        """Producer-side batches for serve_tsv_prepacked: ONE native C pass
+        (native/fastqpack.cpp) parses strict 4-line FASTQ and 2-bit packs
+        device-ready arrays; anything unusual falls back to the Python
+        reader + _pack_reads mid-stream.  Nucleotide single-end files only
+        (the bulk TSV fast path's precondition)."""
+        from ..io.fastq_fast import iter_packed_batches, iter_fastq_batches
+        it = None
+        if not self.protein:
+            it = iter_packed_batches(path, batch_size, bucket_q=self.bucket_q)
+        if it is not None:
+            for ids, queries, reads, lengths, nr, Q0 in it:
+                if reads is None:
+                    reads, lengths, nr, Q0 = self._pack_reads(queries)[:4]
+                yield ids, queries, reads, lengths, nr, Q0
+            return
+        for ids, queries in iter_fastq_batches(path, batch_size):
+            reads, lengths, nr, Q0 = self._pack_reads(queries)[:4]
+            yield ids, queries, reads, lengths, nr, Q0
+
     def serve_tsv_prepacked(self, items):
         """Highest-throughput serving loop: `items` yields
         (read_ids, queries, packed_reads, lengths, nr, Q0) — typically from a

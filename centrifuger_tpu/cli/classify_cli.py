@@ -345,18 +345,20 @@ def main(argv=None):
             try:
                 i = 0
                 for path in reads.file_names:
-                    for item in iter_fastq_batches(path, batch_size):
-                        if i % args.n_ranks == args.rank:
-                            if prepacked:
-                                # pack on the producer thread too: the
-                                # serving thread only dispatches + writes
-                                ids, queries = item
-                                rd, ln, nr, Q0, _, _ = \
-                                    classifier._pack_reads(queries)
-                                bq2.put((ids, queries, rd, ln, nr, Q0))
-                            else:
+                    if prepacked:
+                        # parse + 2-bit pack on the producer thread (native
+                        # C fast path when available): the serving thread
+                        # only dispatches + writes
+                        for item in classifier.iter_prepacked(path,
+                                                              batch_size):
+                            if i % args.n_ranks == args.rank:
                                 bq2.put(item)
-                        i += 1
+                            i += 1
+                    else:
+                        for item in iter_fastq_batches(path, batch_size):
+                            if i % args.n_ranks == args.rank:
+                                bq2.put(item)
+                            i += 1
                 bq2.put(None)
             except Exception as e:     # e.g. multi-line FASTQ -> surface it
                 bq2.put(e)

@@ -9,12 +9,19 @@ gathers + popcounts over bit-packed uint32 arrays in HBM.  Rank values (and
 therefore all classification results) are bit-identical to the host engine.
 
 Layout notes (TPU-first):
-  * packed streams are reshaped to [nblocks, 16] word rows so one rank touches
-    one contiguous 64-byte row (gather-friendly), plus a [nblocks, sigma]
-    checkpoint row — the flat-array equivalent of Rank9's interleaving
-    (reference compactds/DS_Rank.hpp:196-197).
-  * all row/position arithmetic is int32 when n < 2^31 (the common replicated-
-    shard case); the int64 variant is selected at upload time.
+  * the serving rank table uses 512-byte wide rows — 1920 symbols per row:
+    [occ_lo x4, packed occ_hi byte per symbol, prev word, 120 data words]
+    (device_fused.build_fused_stream_wide) — the flat-array equivalent of
+    Rank9's counter/data interleaving (reference compactds/DS_Rank.hpp:
+    196-197) sized to the measured v5e gather sweet spot: random row fetches
+    run ~5-7x faster at >=64-word rows than at cache-line-sized rows
+    (tools/r5/probe_w.py), and 512 B is one native tile.
+  * narrow per-step lookups (packed per-position kmer/char words, ftab
+    entries) are ALSO stored as [R, 128] rows: fetch the wide row containing
+    the word, column-select arithmetically (~4x a 1-word gather).
+  * all row/position arithmetic is int32 when n < 2^31; the int64 variant
+    (same wide layout — occ_hi gives 40-bit checkpoints) is selected at
+    upload time and keeps the fused fast path.
 """
 
 import copy
@@ -901,8 +908,10 @@ class DeviceFM:
                            0, L)
             q = lane_base + idx
             pkrow = pk_pad[q >> 7]
+            # explicit sum dtypes: under jax_enable_x64 an unqualified
+            # jnp.sum(int32) promotes to int64 and breaks the loop carry
             pkv = jnp.sum(jnp.where(j128 == (q & 127)[:, None], pkrow, 0),
-                          axis=1)
+                          axis=1, dtype=jnp.int32)
             c = pkv & 31
             tv = (pkv >> 5) & 15
             kmer = pkv >> 9
@@ -913,8 +922,10 @@ class DeviceFM:
                 q2 = km * 2                       # even -> both words share
                 frow = self.ftab2w[q2 >> 7]       # one 512-byte row
                 col = (q2 & 127)[:, None]
-                fsp = jnp.sum(jnp.where(j128 == col, frow, 0), axis=1)
-                flen = jnp.sum(jnp.where(j128 == col + 1, frow, 0), axis=1)
+                fsp = jnp.sum(jnp.where(j128 == col, frow, 0), axis=1,
+                              dtype=it)
+                flen = jnp.sum(jnp.where(j128 == col + 1, frow, 0), axis=1,
+                               dtype=it)
             else:
                 row2 = self.ftab2[km]
                 fsp, flen = row2[:, 0], row2[:, 1]

@@ -1,8 +1,11 @@
 """Native (C++) components, loaded via ctypes with on-demand compilation.
 
-The compute path is JAX/XLA; this package holds the host runtime's
-native pieces: the linear-time suffix-array builder for offline index
-construction (sais.cpp) and, later, the streaming FASTQ parser.
+The compute path is JAX/XLA; this package holds the host runtime's native
+pieces, each with a pure-Python fallback:
+  sais.cpp        linear-time SA-IS suffix sort (offline index build)
+  sa_chunked.cpp  difference-cover chunked SA builder (--build-mem path)
+  fastqpack.cpp   one-pass FASTQ parse + 2-bit pack (serving producer)
+  tsvquant.cpp    one-pass classification-TSV ingest (quantifier)
 """
 
 import ctypes
