@@ -481,5 +481,11 @@ def fused_classify(dev, reads, lengths, nr, mhl, H, max_result,
     fb_nh = nhits[fb_lanes].astype(jnp.int32)
     fb_units = jnp.where(fbu == I32_MAX, -1, fbu)
 
+    # ONE flat int32 blob with everything the host finish stage consumes:
+    # each extra device->host pull costs a full ~25 ms round trip on a
+    # tunneled serving link, so packed + fb_* ship as a single fetch
+    host_blob = jnp.concatenate([
+        packed.reshape(-1), fb_units, fb_hits.reshape(-1), fb_nh])
     return dict(packed=packed, hits=hits_packed, nhits=nhits,
-                fb_units=fb_units, fb_hits=fb_hits, fb_nh=fb_nh)
+                fb_units=fb_units, fb_hits=fb_hits, fb_nh=fb_nh,
+                host_blob=host_blob)

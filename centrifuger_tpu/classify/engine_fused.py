@@ -157,12 +157,37 @@ class ClassifierFused(ClassifierJax):
             protein=self.protein)
         return dict(queries=queries, out=out, nr=nr, Q0=Q0)
 
+    def _pull_results(self, out):
+        """ONE device->host transfer for everything the finish stage reads:
+        unpacks the fused program's host_blob (packed + fb_units + fb_hits +
+        fb_nh) and substitutes host arrays into a copy of `out`, so the
+        downstream accessors' np.asarray calls are free.  Falls back to the
+        individual pulls when host_blob is absent (sharded mode ships
+        per-shard outputs separately)."""
+        blob_d = out.get("host_blob")
+        if blob_d is None:
+            return np.asarray(out["packed"]), out
+        blob = np.asarray(blob_d)
+        q, w = out["packed"].shape
+        packed = blob[:q * w].reshape(q, w)
+        rest = blob[q * w:]
+        fb = out["fb_units"].shape[0]
+        fbu = rest[:fb]
+        rest = rest[fb:]
+        hshape = out["fb_hits"].shape
+        nfh = int(np.prod(hshape))
+        fbh = rest[:nfh].reshape(hshape)
+        fbn = rest[nfh:nfh + out["fb_nh"].shape[0]]
+        out = dict(out, fb_units=fbu, fb_hits=fbh, fb_nh=fbn)
+        return packed, out
+
     def finish_packed(self, ctx):
         """Pull the packed device results; returns (packed [Q0, 5+K] np array,
         fallback_results dict {unit: ClassifierResult}).  Fallback units are
         the only per-read host work."""
         queries, out, nr, Q0 = ctx["queries"], ctx["out"], ctx["nr"], ctx["Q0"]
-        packed = np.asarray(out["packed"])[:Q0]          # the ONE result pull
+        packed, out = self._pull_results(out)            # the ONE result pull
+        packed = packed[:Q0]
         fallback = (packed[:, 4] != 0) | (packed[:, 3] > self.K_OUT)
         fb_idx = np.flatnonzero(fallback)
         self.stats["fallback_units"] += int(len(fb_idx))
@@ -174,7 +199,9 @@ class ClassifierFused(ClassifierJax):
 
     def _finish_fused(self, ctx):
         queries, out, nr, Q0 = ctx["queries"], ctx["out"], ctx["nr"], ctx["Q0"]
-        packed = np.asarray(out["packed"])[:Q0]          # the ONE result pull
+        packed, out = self._pull_results(out)            # the ONE result pull
+        packed = packed[:Q0]
+        ctx = dict(ctx, out=out)
         param = self.param
         tax = self.tax
         K = self.K_OUT
@@ -306,7 +333,11 @@ class ClassifierFused(ClassifierJax):
         ms = np.zeros(B, np.int32)
         ms[:n] = lane_ms
         l, sp, ep = self.dev.prefix_search(codes, ms)
-        l, sp, ep = np.asarray(l), np.asarray(sp), np.asarray(ep)
+        # one device->host transfer instead of three (each pull is a full
+        # round trip over the serving link)
+        import jax.numpy as jnp
+        lse = np.asarray(jnp.stack([jnp.asarray(l).astype(sp.dtype), sp, ep]))
+        l, sp, ep = lse[0], lse[1], lse[2]
         return [(int(l[i]), int(sp[i]), int(ep[i])) for i in range(n)]
 
     def _finish_fallback_units(self, queries, fb_idx, out, nr):

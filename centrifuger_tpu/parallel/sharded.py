@@ -217,10 +217,15 @@ class ShardedIndex:
 
         def traced(view, rd, ln):
             u_local = (rd[0] if isinstance(rd, (tuple, list)) else rd).shape[0]
-            return _fused(view, rd, ln, nr, mhl, H, max_result,
-                          hitk_factor, k_out,
-                          (u_local // lanes_per_read // nr) * u_cap,
-                          protein=protein)
+            r = _fused(view, rd, ln, nr, mhl, H, max_result,
+                       hitk_factor, k_out,
+                       (u_local // lanes_per_read // nr) * u_cap,
+                       protein=protein)
+            # host_blob concatenates per-shard sections and would not match
+            # the host unpacker's layout across shards; the engine falls back
+            # to per-array pulls when it is absent
+            r.pop("host_blob", None)
+            return r
 
         out_specs = dict(packed=P(axis, None), hits=P(axis, None, None),
                          nhits=P(axis), fb_units=P(axis),

@@ -1,5 +1,11 @@
 """Microbenchmark: per-iteration cost of the FM chain-search step shapes.
 
+WARNING (round 5): the timings printed by THIS file are invalid on the
+tunneled serving device — `jax.block_until_ready` is a no-op there and
+returns before the computation runs (see tools/COMPILE_NOTES.md #4).  The
+fetch-timed probes in tools/r5/ supersede these; this file is kept for the
+minor-axis-gather finding (#3 in COMPILE_NOTES), which was CPU-verified.
+
 The fused chain search runs ~L lockstep while_loop iterations; each does
   (a) a [B]-row gather from the pre_flat table ([B*(L+1), 4] int32)
   (b) a [2B]-row gather of 84-byte fused rows (21 uint32)
