@@ -514,16 +514,25 @@ def measure_rank_roofline(cl):
                       .astype(np.int32))
     c = jnp.asarray(rng.integers(0, 4, M).astype(np.int32))
 
-    def body(arrs, pos, c):
+    pos2 = jnp.asarray(rng.integers(0, dev.n - 1, M, dtype=np.int64)
+                       .astype(np.int32))
+
+    def body(arrs, pos, pos2, c):
         d = dev._bind(arrs)
         def step(i, carry):
-            pos, acc = carry
+            pos, pos2, acc = carry
+            # TWO independent dependent chains per step — the production
+            # access pattern (backward_extend fetches sp-1 and ep rows as
+            # separate pipelined gathers each extend)
             r, sym = d._plain_rank_sym(c, pos)
-            # data-dependent next positions: keeps the gathers serialized
-            # like the real LF chain, and unhoistable
+            r2, sym2 = d._plain_rank_sym(c, pos2)
+            # data-dependent next positions: keeps each chain serialized
+            # like the real LF walk, and unhoistable
             pos = (pos + r + sym) % (d.n - 1)
-            return (pos, acc + r)
-        pos, acc = jax.lax.fori_loop(0, iters, step, (pos, jnp.zeros(M, jnp.int32)))
+            pos2 = (pos2 + r2 + sym2) % (d.n - 1)
+            return (pos, pos2, acc + r + r2)
+        pos, pos2, acc = jax.lax.fori_loop(
+            0, iters, step, (pos, pos2, jnp.zeros(M, jnp.int32)))
         return acc.sum()
 
     @jax.jit
@@ -537,22 +546,23 @@ def measure_rank_roofline(cl):
         t0 = time.time()
         float(nop(jnp.zeros(())))
         lat = min(lat, time.time() - t0)
-    float(f(dev.arrs, pos, c))      # warm (compile + fetch)
+    float(f(dev.arrs, pos, pos2, c))    # warm (compile + fetch)
     dt = 1e18
     for _ in range(3):
         t0 = time.time()
-        float(f(dev.arrs, pos, c))
+        float(f(dev.arrs, pos, pos2, c))
         dt = min(dt, time.time() - t0)
     dt = max(dt - lat, 1e-9)
     row_bytes = int(np.asarray(dev.plain_rows).shape[1]) * 4
-    bytes_moved = M * iters * row_bytes
+    bytes_moved = 2 * M * iters * row_bytes
     gbps = bytes_moved / dt / 1e9
     peak = float(os.environ.get("CFR_HBM_PEAK_GBPS", 819))  # v5e HBM
     return {"gather_gbps": round(gbps, 2), "hbm_peak_gbps": peak,
             "pct_peak": round(100 * gbps / peak, 2),
-            "rows_per_sec_m": round(M * iters / dt / 1e6, 1),
-            "note": "serialized %dB-row rank gathers (LF-chain access "
-                    "pattern), %d lanes, fetch-timed" % (row_bytes, M)}
+            "rows_per_sec_m": round(2 * M * iters / dt / 1e6, 1),
+            "note": "2 parallel serialized %dB-row rank-gather chains "
+                    "(backward_extend access pattern), %d lanes, "
+                    "fetch-timed" % (row_bytes, M)}
 
 
 def ensure_ref_tsv():
