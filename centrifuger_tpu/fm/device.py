@@ -26,7 +26,6 @@ Layout notes (TPU-first):
 
 import copy
 import os
-from functools import partial
 
 import numpy as np
 import jax
