@@ -281,14 +281,15 @@ class DeviceFM:
         # (tools/r5/probe_wordfetch.py).
         ftab2 = np.stack([fm.ftab_start.astype(idtype),
                           fm.ftab_len.astype(idtype)], axis=1)
-        self.ftab2 = jnp.asarray(ftab2)
         if idtype == jnp.int32:
+            self.ftab2 = None
             flat = ftab2.reshape(-1)
             r2 = (len(flat) + 127) // 128
             pad = np.zeros(r2 * 128, ftab2.dtype)
             pad[:len(flat)] = flat
             self.ftab2w = jnp.asarray(pad.reshape(r2, 128))
         else:
+            self.ftab2 = jnp.asarray(ftab2)
             self.ftab2w = None
         self.sampled_sa = jnp.asarray(fm.sampled_sa.astype(idtype))
         self.adjusted_sa0 = int(fm.adjusted_sa0)
